@@ -1,0 +1,161 @@
+"""Benchmark: clips/s on the flagship 60 s seizure-detection training step.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+- Ours: jitted full training step (fwd+bwd+clip+adam, on-device support
+  build) for the paper config Dist-DCRNN (2 layers, rnn_units 64, K=2,
+  T=60, input_dim 100) on the available accelerator.
+- Baseline: the reference PyTorch implementation executed from
+  /root/reference on this host's CPU (the only backend torch has here; the
+  reference is single-device by design, SURVEY.md §2.7). Measured once and
+  cached in benchmarks/reference_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+T = 60
+N_NODES = 19
+INPUT_DIM = 100
+CACHE = os.path.join(os.path.dirname(__file__), "benchmarks",
+                     "reference_baseline.json")
+
+
+def _flagship_batch(batch):
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, T, N_NODES, INPUT_DIM).astype(np.float32)
+    y = rng.randint(0, 2, size=(batch,)).astype(np.float32)
+    lengths = np.full((batch,), T, np.int64)
+    adj = np.abs(rng.rand(batch, N_NODES, N_NODES)).astype(np.float32)
+    adj = (adj + adj.transpose(0, 2, 1)) / 2
+    for a in adj:
+        np.fill_diagonal(a, 1.0)
+    return x, y, lengths, adj
+
+
+def bench_ours(batch=BATCH, iters=20, warmup=3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.graphs import compute_supports_jnp
+    from eeg_gnn_tpu.models.dcrnn import DCRNNConfig, init_classification_model
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
+
+    cfg = DCRNNConfig(input_dim=INPUT_DIM, rnn_units=64, num_rnn_layers=2,
+                      max_diffusion_step=2, num_nodes=N_NODES, num_supports=1,
+                      num_classes=1)
+    params = init_classification_model(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-4, 5e-4, 5.0, 100, 100)
+    opt_state = optimizer.init(params)
+    loss_fn = supervised_loss_fn(cfg, "detection")
+    train_step = make_train_step(loss_fn, optimizer, donate=False)
+
+    x, y, lengths, adj = _flagship_batch(batch)
+    batch_dict = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(y),
+        "seq_lengths": jnp.asarray(lengths),
+        # on-device per-clip support construction included in the step cost
+        "supports": compute_supports_jnp(jnp.asarray(adj), "laplacian"),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state, batch_dict, rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, batch_dict, rng)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_reference(batch=BATCH, iters=3, warmup=1) -> float:
+    """Execute (not copy) the upstream reference train step on torch-CPU."""
+    import types
+
+    import torch
+
+    sys.modules.setdefault("pyedflib", types.ModuleType("pyedflib"))
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import argparse
+
+    from model.model import DCRNNModel_classification  # noqa: E501  (reference)
+
+    args = argparse.Namespace(
+        num_nodes=N_NODES, num_rnn_layers=2, rnn_units=64,
+        input_dim=INPUT_DIM, max_diffusion_step=2, dcgru_activation="tanh",
+        filter_type="laplacian", dropout=0.0,
+    )
+    model = DCRNNModel_classification(args=args, num_classes=1, device="cpu")
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=5e-4)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+
+    x, y, lengths, adj = _flagship_batch(batch)
+    # host-side support computation is part of the reference's per-batch cost
+    from eeg_gnn_tpu.graphs import compute_supports
+
+    def step():
+        sup_np = np.stack([compute_supports(a, "laplacian")[0] for a in adj])
+        supports = [torch.from_numpy(sup_np)]
+        tx = torch.from_numpy(x)
+        ty = torch.from_numpy(y)
+        tl = torch.from_numpy(lengths)
+        opt.zero_grad()
+        logits = model(tx, tl, supports).view(-1)
+        loss = loss_fn(logits, ty)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ours = bench_ours()
+
+    baseline = None
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            baseline = json.load(f).get("clips_per_s")
+    if baseline is None:
+        try:
+            baseline = bench_reference()
+            os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+            with open(CACHE, "w") as f:
+                json.dump({"clips_per_s": baseline,
+                           "note": "reference torch-CPU train step, batch 64, "
+                                   "60s detection config"}, f, indent=2)
+        except Exception as e:  # reference mount may be absent
+            print(f"# reference baseline unavailable: {e}", file=sys.stderr)
+            baseline = float("nan")
+
+    vs = ours / baseline if baseline and np.isfinite(baseline) else None
+    print(json.dumps({
+        "metric": "clips_per_s_60s_detection_train_step",
+        "value": round(ours, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Training entry point: ``python -m eeg_gnn_tpu.cli.train <flags>``.
+
+Flag surface mirrors the reference's ``train.py``/``train_ssl.py`` (one
+entry handles all tasks — the reference splits SSL into ``train_ssl.py``
+with the same skeleton). Extra flags (``--marker_dir``, ``--adj_mat_dir``,
+``--mesh_shape``, ``--dtype``) cover what the reference hard-codes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    from eeg_gnn_tpu.config import build_parser, ExperimentConfig
+
+    parser = build_parser()
+    parser.add_argument("--marker_dir", type=str, default=None,
+                        help="Dir with file markers + scaler pickles.")
+    parser.add_argument("--adj_mat_dir", type=str, default=None,
+                        help="Path to distance-graph adjacency pickle.")
+    ns = parser.parse_args(argv)
+    marker_dir = ns.marker_dir
+    adj_mat_dir = ns.adj_mat_dir
+    d = vars(ns)
+    d.pop("marker_dir")
+    d.pop("adj_mat_dir")
+    cfg = ExperimentConfig(**d).finalize()
+
+    import jax
+
+    from eeg_gnn_tpu.data.datasets import (
+        load_dataset_classification,
+        load_dataset_detection,
+        load_dataset_ssl,
+    )
+    from eeg_gnn_tpu.parallel.mesh import make_mesh
+    from eeg_gnn_tpu.train.checkpoint import get_save_dir
+    from eeg_gnn_tpu.train.trainer import run_experiment
+    from eeg_gnn_tpu.utils.logging import MetricsWriter, get_logger
+
+    save_dir = get_save_dir(cfg.save_dir or "./save", training=cfg.do_train)
+    cfg.save_dir = save_dir
+    with open(os.path.join(save_dir, "args.json"), "w") as f:
+        f.write(cfg.to_json())
+    log = get_logger(save_dir, "train")
+    tbx = MetricsWriter(save_dir)
+    log.info("Args: " + cfg.to_json())
+
+    common = dict(
+        input_dir=cfg.input_dir, raw_data_dir=cfg.raw_data_dir,
+        train_batch_size=cfg.train_batch_size,
+        test_batch_size=cfg.test_batch_size,
+        time_step_size=cfg.time_step_size, standardize=True,
+        num_workers=cfg.num_workers, augmentation=cfg.data_augment,
+        adj_mat_dir=adj_mat_dir, graph_type=cfg.graph_type, top_k=cfg.top_k,
+        filter_type=cfg.filter_type, use_fft=cfg.use_fft,
+        preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
+    )
+    if cfg.task == "detection":
+        loaders, _, scaler = load_dataset_detection(
+            max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123, **common)
+    elif cfg.task == "classification":
+        loaders, _, scaler = load_dataset_classification(
+            max_seq_len=cfg.max_seq_len, padding_val=0.0, **common)
+    else:  # SS pre-training
+        loaders, _, scaler = load_dataset_ssl(
+            input_len=cfg.max_seq_len, output_len=cfg.output_seq_len, **common)
+
+    mesh = make_mesh(cfg.mesh_shape) if len(jax.devices()) > 1 else None
+    results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
+                             mesh=mesh)
+    with open(os.path.join(save_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,317 @@
+"""DCGRU: Diffusion-Convolutional GRU cell, encoder and decoder.
+
+Reference semantics: ``model/cell.py:121-225`` (cell), ``model/model.py:48-109``
+(encoder), ``model/model.py:112-204`` (decoder). Re-designed for TPU:
+
+- The encoder runs each layer as a ``lax.scan`` over time instead of a
+  Python double loop (reference hot loop #1, SURVEY.md §3.6).
+- The input-dependent ~60% of each cell's FLOPs (diffusing the layer input
+  and projecting it through the input rows of the gate/candidate weights)
+  does not depend on the recurrent state, so it is hoisted out of the scan
+  and executed as one large batched GEMM over all timesteps — big
+  MXU-friendly matmuls outside, only the small state-dependent matmuls
+  inside the sequential scan. Numerics are identical (matmul distributes
+  over the [inputs, state] feature concat).
+- The decoder keeps the reference's per-step feedback (inherently
+  sequential) as a ``lax.scan`` whose step runs all layers, with scheduled
+  sampling driven by per-step PRNG splits instead of Python ``random``.
+
+Parameter layout matches reference checkpoints exactly (weight row
+``d*M + m``; see ``ops/diffusion.py``), including the decoder quirk that
+layers >= 1 share one set of cell weights (reference model.py:126-143).
+
+Reference init quirk, reproduced deliberately: ``DiffusionGraphConv`` is
+always constructed with the default ``bias_start=0.0`` — the ``bias_start=1.0``
+passed by ``DCGRUCell.forward`` (cell.py:197) is an unused argument of the
+*forward* method, so gate biases really init to zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from eeg_gnn_tpu.ops.diffusion import chebyshev_diffusion
+
+
+@dataclasses.dataclass(frozen=True)
+class DCGRUConfig:
+    """Static configuration of a DCGRU cell."""
+
+    input_dim: int
+    num_units: int
+    max_diffusion_step: int
+    num_nodes: int
+    num_supports: int
+    activation: str = "tanh"  # 'tanh' | 'relu' | 'linear'
+
+    @property
+    def num_matrices(self) -> int:
+        return self.num_supports * self.max_diffusion_step + 1
+
+
+def _activation_fn(name: Optional[str]):
+    if name in (None, "tanh"):
+        return jnp.tanh
+    if name == "relu":
+        return jax.nn.relu
+    if name == "linear":
+        return lambda x: x
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def xavier_normal(key, shape, gain: float, dtype=jnp.float32):
+    """Xavier-normal init, matching ``nn.init.xavier_normal_`` semantics
+    (reference cell.py:47: gain=1.414)."""
+    fan_in, fan_out = shape[0], shape[1]
+    std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def init_dcgru_cell(key, cfg: DCGRUConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Init one cell's params in reference layout (cell.py:40-48)."""
+    d_total = cfg.input_dim + cfg.num_units
+    m = cfg.num_matrices
+    k_gate, k_cand = jax.random.split(key)
+    return {
+        "gate_w": xavier_normal(k_gate, (d_total * m, 2 * cfg.num_units), 1.414, dtype),
+        "gate_b": jnp.zeros((2 * cfg.num_units,), dtype),
+        "cand_w": xavier_normal(k_cand, (d_total * m, cfg.num_units), 1.414, dtype),
+        "cand_b": jnp.zeros((cfg.num_units,), dtype),
+    }
+
+
+def _split_weight(cfg: DCGRUConfig, w):
+    """Split a (D_total*M, out) weight into input rows / hidden rows.
+
+    Rows are ordered (d, m) with d-major over the concat [inputs, state], so
+    the first ``input_dim*M`` rows consume diffused inputs and the rest
+    consume the diffused state. Static slices — free under XLA.
+    """
+    cut = cfg.input_dim * cfg.num_matrices
+    return w[:cut], w[cut:]
+
+
+def _flat(stacked):
+    """(..., N, D, M) -> (..., N, D*M) in reference d-major layout."""
+    return stacked.reshape(*stacked.shape[:-2], -1)
+
+
+def dcgru_cell_apply(cfg: DCGRUConfig, params, supports, x, h):
+    """One DCGRU step with full reference semantics (cell.py:182-210).
+
+    Args:
+        supports: (S, ..., N, N); x: (..., N, input_dim); h: (..., N, num_units).
+
+    Returns:
+        new hidden state (..., N, num_units) — the reference returns
+        (output, new_state) but they are the same tensor.
+    """
+    act = _activation_fn(cfg.activation)
+    h_units = cfg.num_units
+
+    xh = jnp.concatenate([x, h], axis=-1)
+    xh_feat = _flat(chebyshev_diffusion(supports, xh, cfg.max_diffusion_step))
+
+    ru = jax.nn.sigmoid(jnp.matmul(xh_feat, params["gate_w"]) + params["gate_b"])
+    r, u = ru[..., :h_units], ru[..., h_units:]
+
+    xrh = jnp.concatenate([x, r * h], axis=-1)
+    xrh_feat = _flat(chebyshev_diffusion(supports, xrh, cfg.max_diffusion_step))
+    c = act(jnp.matmul(xrh_feat, params["cand_w"]) + params["cand_b"])
+
+    return u * h + (1.0 - u) * c
+
+
+def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
+    """Scan one DCGRU layer over time with the input work hoisted out.
+
+    Args:
+        x_seq: (T, B, N, input_dim) layer input sequence.
+        h0: (B, N, num_units) initial state.
+
+    Returns:
+        (h_last, h_seq) with h_seq (T, B, N, num_units).
+    """
+    act = _activation_fn(cfg.activation)
+    h_units = cfg.num_units
+    k = cfg.max_diffusion_step
+
+    wx_gate, wh_gate = _split_weight(cfg, params["gate_w"])
+    wx_cand, wh_cand = _split_weight(cfg, params["cand_w"])
+
+    # Hoisted: diffuse inputs for all T at once, then one (T*B*N, Din*M) x
+    # (Din*M, 3H) GEMM for the input contribution to gate and candidate.
+    x_feat = _flat(chebyshev_diffusion(supports, x_seq, k))  # (T,B,N,Din*M)
+    wx = jnp.concatenate([wx_gate, wx_cand], axis=1)  # (Din*M, 3H)
+    x_proj = jnp.matmul(x_feat, wx)
+    gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
+
+    def step(h, inp):
+        gx, cx = inp
+        h_feat = _flat(chebyshev_diffusion(supports, h, k))
+        ru = jax.nn.sigmoid(gx + jnp.matmul(h_feat, wh_gate) + params["gate_b"])
+        r, u = ru[..., :h_units], ru[..., h_units:]
+        rh_feat = _flat(chebyshev_diffusion(supports, r * h, k))
+        c = act(cx + jnp.matmul(rh_feat, wh_cand) + params["cand_b"])
+        h_new = u * h + (1.0 - u) * c
+        return h_new, h_new
+
+    h_last, h_seq = jax.lax.scan(step, h0, (gate_x, cand_x))
+    return h_last, h_seq
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
+                    num_supports, num_layers, activation="tanh"):
+    """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
+    (reference model.py:58-79)."""
+    mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
+                               num_supports, activation)
+    return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
+
+
+def encoder_init(key, cfgs, dtype=jnp.float32):
+    keys = jax.random.split(key, len(cfgs))
+    return [init_dcgru_cell(k, c, dtype) for k, c in zip(keys, cfgs)]
+
+
+def encoder_apply(cfgs, params, supports, x_seq, h0=None):
+    """Stacked DCGRU encoder over a full sequence.
+
+    Args:
+        cfgs: per-layer DCGRUConfig list.
+        params: per-layer cell param list.
+        supports: (S, ..., N, N).
+        x_seq: (T, B, N, input_dim) — time-major like the reference's
+            internal layout (model.py:81-102).
+        h0: optional (L, B, N, num_units) initial states (zeros by default,
+            reference cell.py:223-225).
+
+    Returns:
+        (hidden_stack, top_seq): (L, B, N, H) last state per layer and the
+        top layer's full output sequence (T, B, N, H).
+    """
+    t, b, n, _ = x_seq.shape
+    h_units = cfgs[0].num_units
+    dtype = x_seq.dtype
+    cur = x_seq
+    lasts = []
+    for i, (cfg, p) in enumerate(zip(cfgs, params)):
+        h_init = (
+            jnp.zeros((b, n, h_units), dtype) if h0 is None else h0[i]
+        )
+        h_last, cur = _layer_scan(cfg, p, supports, cur, h_init)
+        lasts.append(h_last)
+    return jnp.stack(lasts, axis=0), cur
+
+
+# ---------------------------------------------------------------------------
+# Decoder (seq2seq with scheduled sampling)
+# ---------------------------------------------------------------------------
+
+
+def decoder_init(key, input_dim, num_units, max_diffusion_step, num_nodes,
+                 num_supports, num_layers, output_dim, activation="tanh",
+                 dtype=jnp.float32):
+    """Decoder params. QUIRK reproduced: layers >= 1 share ONE cell
+    (reference model.py:126-143) — stored once under 'shared'; gradients
+    w.r.t. the shared leaf accumulate across layers automatically.
+
+    The projection layer keeps torch ``nn.Linear`` layout: weight
+    (output_dim, num_units), applied as ``x @ W.T + b``.
+    """
+    k0, ks, kp, kb = jax.random.split(key, 4)
+    cfg0 = DCGRUConfig(input_dim, num_units, max_diffusion_step, num_nodes,
+                       num_supports, activation)
+    cfg_shared = DCGRUConfig(num_units, num_units, max_diffusion_step,
+                             num_nodes, num_supports, activation)
+    params = {"layer0": init_dcgru_cell(k0, cfg0, dtype)}
+    if num_layers > 1:
+        params["shared"] = init_dcgru_cell(ks, cfg_shared, dtype)
+    # torch Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both.
+    bound = 1.0 / (num_units ** 0.5)
+    params["proj_w"] = jax.random.uniform(kp, (output_dim, num_units), dtype,
+                                          -bound, bound)
+    params["proj_b"] = jax.random.uniform(kb, (output_dim,), dtype, -bound, bound)
+    return params, (cfg0, cfg_shared)
+
+
+def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
+                  *, teacher_forcing_ratio=None, dropout_rate=0.0,
+                  rng=None, training=False):
+    """Seq2seq DCGRU decoder with GO-symbol start and scheduled sampling.
+
+    Args:
+        cfgs: (cfg_layer0, cfg_shared) as returned by :func:`decoder_init`.
+        dec_inputs: (T_out, B, N, output_dim) ground-truth sequence
+            (teacher-forcing inputs), time-major.
+        h0_stack: (L, B, N, H) encoder final hidden states.
+        teacher_forcing_ratio: None disables sampling (eval semantics,
+            reference model.py:198-202); otherwise the per-step probability
+            of feeding ground truth.
+        dropout_rate/rng/training: dropout before the projection layer
+            (reference model.py:147,192).
+
+    Returns:
+        (T_out, B, N, output_dim) predictions.
+
+    Parity: reference ``DCGRUDecoder.forward`` (model.py:149-204). The
+    per-step Bernoulli draw uses JAX PRNG (statistically equivalent to the
+    reference's Python ``random.random()``; exact stream parity is
+    impossible and not required — golden tests run with forcing off).
+    """
+    cfg0, cfg_shared = cfgs
+    t_out, b, n, out_dim = dec_inputs.shape
+    h_units = cfg0.num_units
+    use_tf = teacher_forcing_ratio is not None
+    use_dropout = training and dropout_rate > 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    step_keys = jax.random.split(rng, t_out)
+
+    proj_w_t = params["proj_w"].T  # (H, output_dim)
+
+    def cell_for(i):
+        if i == 0:
+            return cfg0, params["layer0"]
+        return cfg_shared, params["shared"]
+
+    go = jnp.zeros((b, n, out_dim), dec_inputs.dtype)
+
+    def step(carry, inp):
+        h_stack, cur = carry
+        x_t, key = inp
+        k_tf, k_drop = jax.random.split(key)
+        new_h = []
+        out = cur
+        for i in range(num_layers):
+            cfg_i, p_i = cell_for(i)
+            h_i = dcgru_cell_apply(cfg_i, p_i, supports, out, h_stack[i])
+            out = h_i
+            new_h.append(h_i)
+        h_stack = jnp.stack(new_h, axis=0)
+
+        pre = out  # (B, N, H)
+        if use_dropout:
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(k_drop, keep, pre.shape)
+            pre = jnp.where(mask, pre / keep, 0.0)
+        projected = jnp.matmul(pre, proj_w_t) + params["proj_b"]  # (B,N,out_dim)
+
+        if use_tf:
+            force = jax.random.uniform(k_tf, ()) < teacher_forcing_ratio
+            nxt = jnp.where(force, x_t, projected)
+        else:
+            nxt = projected
+        return (h_stack, nxt), projected
+
+    (_, _), outputs = jax.lax.scan(step, (h0_stack, go), (dec_inputs, step_keys))
+    return outputs

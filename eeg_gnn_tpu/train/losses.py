@@ -1,0 +1,71 @@
+"""Loss functions (jit-friendly).
+
+Parity: detection uses BCE-with-logits, classification uses softmax cross
+entropy (reference train.py:203-206); SSL uses masked MAE on
+inverse-standardized signals (reference utils.py:431-495, train_ssl.py:165-170).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits, targets):
+    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss semantics)."""
+    logits = logits.reshape(-1)
+    targets = targets.reshape(-1).astype(logits.dtype)
+    # log(1+exp(-|x|)) + max(x,0) - x*y, numerically stable
+    loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
+def cross_entropy(logits, targets):
+    """Mean softmax cross-entropy with integer targets (torch CrossEntropyLoss)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, targets.astype(jnp.int32)[:, None], axis=-1)
+    return -jnp.mean(picked)
+
+
+def masked_mae_loss(y_pred, y_true, mask_val: float = 0.0):
+    """MAE over entries where y_true != mask_val, normalized by mask mean.
+
+    Parity: reference ``utils.masked_mae_loss`` (utils.py:431-442), including
+    the mask-mean renormalization and nan-to-zero guard.
+    """
+    masks = (y_true != mask_val).astype(y_pred.dtype)
+    masks = masks / jnp.mean(masks)
+    loss = jnp.abs(y_pred - y_true) * masks
+    loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+    return jnp.mean(loss)
+
+
+def masked_mse_loss(y_pred, y_true, mask_val: float = 0.0):
+    """Parity: reference ``utils.masked_mse_loss`` (utils.py:445-457) — note
+    the reference returns sqrt(mean(...)), i.e. an RMSE."""
+    masks = (y_true != mask_val).astype(y_pred.dtype)
+    masks = masks / jnp.mean(masks)
+    loss = (y_pred - y_true) ** 2 * masks
+    loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+    return jnp.sqrt(jnp.mean(loss))
+
+
+def compute_regression_loss(y_true, y_predicted, mean=None, std=None,
+                            loss_fn: str = "mae", mask_val: float = 0.0):
+    """Masked regression loss on inverse-standardized signals.
+
+    Parity: reference ``utils.compute_regression_loss`` (utils.py:460-495):
+    both tensors are inverse-transformed (x*std + mean) before the masked
+    loss; any loss_fn other than (case-insensitive) 'mae' selects MSE — the
+    reference compares lowercase 'mae' but train_ssl passes 'MAE', matching
+    its observable behavior requires treating the comparison case-sensitively.
+    The reference's train loop passes loss_fn='MAE' (train_ssl.py:167) which
+    therefore hits the *MSE* branch in training but 'mae' (MAE) in eval
+    (train_ssl.py:255). QUIRK reproduced: we keep case-sensitive dispatch.
+    """
+    if mean is not None:
+        y_true = y_true * std + mean
+        y_predicted = y_predicted * std + mean
+    if loss_fn == "mae":
+        return masked_mae_loss(y_predicted, y_true, mask_val)
+    return masked_mse_loss(y_predicted, y_true, mask_val)

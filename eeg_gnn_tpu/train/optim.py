@@ -1,0 +1,47 @@
+"""Optimizer: Adam + decoupled-from-schedule L2 weight decay + cosine
+annealing + global-norm gradient clipping.
+
+Parity: reference train.py:222-224,273-274 — ``torch.optim.Adam(...,
+weight_decay=l2_wd)`` adds ``wd * p`` to the *gradient* before the Adam
+update (L2 regularization, not AdamW), ``CosineAnnealingLR(T_max=num_epochs)``
+steps per epoch, and ``clip_grad_norm_(max_grad_norm)`` clips before the
+update.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def cosine_annealing_lr(lr_init: float, num_epochs: int, steps_per_epoch: int):
+    """torch CosineAnnealingLR(T_max=num_epochs) stepped once per epoch:
+    lr(e) = lr_init * (1 + cos(pi * e / T_max)) / 2, held constant within an
+    epoch. eta_min=0 (reference default)."""
+    import numpy as np
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        epoch = jnp.floor_divide(step, max(steps_per_epoch, 1))
+        return lr_init * (1.0 + jnp.cos(np.pi * epoch / num_epochs)) / 2.0
+
+    return schedule
+
+
+def make_optimizer(lr_init: float, l2_wd: float, max_grad_norm: float,
+                   num_epochs: int, steps_per_epoch: int):
+    """Build the optax chain mirroring the reference training recipe.
+
+    Order matters for parity: torch clips the raw gradient, then Adam sees
+    grad + wd*p. optax.add_decayed_weights before adam replicates torch's
+    ``Adam(weight_decay=...)`` L2 coupling (decay goes through the Adam
+    moments, unlike AdamW).
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.add_decayed_weights(l2_wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(
+            cosine_annealing_lr(lr_init, num_epochs, steps_per_epoch)
+        ),
+    )

@@ -1,0 +1,281 @@
+"""Training/evaluation driver: the TPU-native equivalent of the reference's
+``train.py``/``train_ssl.py`` entry flows.
+
+Orchestration parity (train.py:30-194, train_ssl.py:24-284): unique run
+dirs, args.json dump, logging + scalar metrics, dataset build, model build,
+warm-start / fine-tune transplant, epoch loop with per-epoch dev eval,
+best/last checkpointing, dev-loss early stopping, cosine LR per epoch,
+final dev+test eval with dev-tuned decision threshold for detection.
+
+TPU specifics: one jitted train step (forward+backward+clip+adam fused);
+batches are padded to a fixed shape (one XLA program, no recompiles) and
+masked at the metrics stage; params replicated / batch sharded over the
+mesh's ``data`` axis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeg_gnn_tpu.config import ExperimentConfig
+from eeg_gnn_tpu.train.checkpoint import (
+    CheckpointSaver,
+    build_finetune_params,
+    load_params_like,
+    save_params,
+)
+from eeg_gnn_tpu.train.metrics import AverageMeter, eval_dict, thresh_max_f1
+from eeg_gnn_tpu.train.optim import make_optimizer
+from eeg_gnn_tpu.train.step import (
+    make_eval_step,
+    make_train_step,
+    ssl_loss_fn,
+    supervised_loss_fn,
+)
+
+
+def _pad_batch(batch, target: int):
+    """Pad a Batch to ``target`` rows (repeating row 0) and return the valid
+    count; keeps every step the same XLA program."""
+    n = len(batch)
+    if n == target:
+        return batch, n
+
+    def pad(a, axis=0):
+        reps = [1] * a.ndim
+        pad_n = target - n
+        first = np.take(a, [0], axis=axis)
+        return np.concatenate([a, np.repeat(first, pad_n, axis=axis)], axis=axis)
+
+    import dataclasses
+
+    return dataclasses.replace(
+        batch,
+        x=pad(batch.x),
+        y=pad(batch.y),
+        seq_lengths=pad(batch.seq_lengths),
+        supports=None if batch.supports is None else pad(batch.supports, axis=1),
+        adj=None if batch.adj is None else pad(batch.adj),
+        names=batch.names + [batch.names[0]] * (target - n),
+    ), n
+
+
+class Trainer:
+    """Drives training + evaluation for one task on one model family."""
+
+    def __init__(self, cfg: ExperimentConfig, model_cfg, loaders, scaler,
+                 log, metrics_writer, mesh=None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.loaders = loaders
+        self.scaler = scaler
+        self.log = log
+        self.tbx = metrics_writer
+        self.mesh = mesh
+        self.is_ssl = cfg.task == "SS pre-training"
+
+        steps_per_epoch = max(1, len(loaders["train"]))
+        self.optimizer = make_optimizer(
+            cfg.lr_init, cfg.l2_wd, cfg.max_grad_norm, cfg.num_epochs,
+            steps_per_epoch)
+
+        if self.is_ssl:
+            mean = None if scaler is None else jnp.float32(scaler.mean)
+            std = None if scaler is None else jnp.float32(scaler.std)
+            self.loss_fn = ssl_loss_fn(model_cfg, mean, std)
+            self.train_step = make_train_step(self.loss_fn, self.optimizer,
+                                              has_batches_seen=True)
+        else:
+            self.loss_fn = supervised_loss_fn(model_cfg, cfg.task)
+            self.train_step = make_train_step(self.loss_fn, self.optimizer)
+        self.eval_step = make_eval_step(self.loss_fn)
+
+    # -- batch placement ---------------------------------------------------
+
+    def _device_batch(self, batch, batch_size: int):
+        batch, valid = _pad_batch(batch, batch_size)
+        d = {
+            "x": jnp.asarray(batch.x),
+            "y": jnp.asarray(batch.y),
+            "seq_lengths": jnp.asarray(batch.seq_lengths),
+            "supports": jnp.asarray(batch.supports),
+        }
+        if self.mesh is not None:
+            from eeg_gnn_tpu.train.step import shard_batch
+
+            d = shard_batch(d, self.mesh)
+        return d, valid, batch.names
+
+    # -- training ----------------------------------------------------------
+
+    def train(self, params, save_dir: str):
+        cfg = self.cfg
+        saver = CheckpointSaver(save_dir, cfg.metric_name,
+                                cfg.maximize_metric, log=self.log)
+        opt_state = self.optimizer.init(params)
+        rng = jax.random.PRNGKey(cfg.rand_seed)
+
+        step = 0
+        prev_val_loss = 1e10
+        patience_count = 0
+        early_stop = False
+        epoch = 0
+        while epoch != cfg.num_epochs and not early_stop:
+            epoch += 1
+            self.log.info(f"Starting epoch {epoch}...")
+            for batch in self.loaders["train"]:
+                bsz = len(batch)
+                dbatch, _, _ = self._device_batch(batch, cfg.train_batch_size)
+                rng, sub = jax.random.split(rng)
+                if self.is_ssl:
+                    params, opt_state, loss = self.train_step(
+                        params, opt_state, dbatch, sub, jnp.int32(step))
+                else:
+                    params, opt_state, loss = self.train_step(
+                        params, opt_state, dbatch, sub)
+                step += bsz
+                self.tbx.add_scalar("train/Loss", float(loss), step)
+
+            if epoch % cfg.eval_every == 0:
+                eval_results = self.evaluate(params, "dev")
+                metric_val = eval_results.get(cfg.metric_name)
+                saver.save(epoch, params, opt_state, metric_val)
+
+                if eval_results["loss"] < prev_val_loss:
+                    patience_count = 0
+                else:
+                    patience_count += 1
+                prev_val_loss = eval_results["loss"]
+                if patience_count == cfg.patience:
+                    early_stop = True
+
+                self.log.info(
+                    "Dev " + ", ".join(f"{k}: {v:.3f}" for k, v in
+                                       eval_results.items()))
+                for k, v in eval_results.items():
+                    self.tbx.add_scalar(f"eval/{k}", v, step)
+
+        return params, saver
+
+    # -- evaluation --------------------------------------------------------
+
+    def evaluate(self, params, split: str, is_test: bool = False,
+                 best_thresh: float = 0.5) -> Dict[str, float]:
+        cfg = self.cfg
+        if self.is_ssl:
+            return self._evaluate_ssl(params, split)
+
+        nll = AverageMeter()
+        y_pred_all, y_true_all, y_prob_all, names_all = [], [], [], []
+        for batch in self.loaders[split]:
+            dbatch, valid, names = self._device_batch(batch, cfg.test_batch_size)
+            loss, logits = self.eval_step(params, dbatch)
+            logits = np.asarray(logits)[:valid]
+            y = np.asarray(batch.y).reshape(-1)[:valid]
+            if cfg.num_classes == 1:
+                prob = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
+                pred = (prob > best_thresh).astype(int)
+                y_true = y.astype(int)
+            else:
+                e = np.exp(logits - logits.max(axis=1, keepdims=True))
+                prob = e / e.sum(axis=1, keepdims=True)
+                pred = prob.argmax(axis=1).reshape(-1)
+                y_true = y.astype(int)
+            nll.update(float(loss), valid)
+            y_prob_all.append(prob)
+            y_pred_all.append(pred)
+            y_true_all.append(y_true)
+            names_all.extend(names[:valid])
+
+        y_pred = np.concatenate(y_pred_all)
+        y_true = np.concatenate(y_true_all)
+        y_prob = np.concatenate(y_prob_all)
+
+        if cfg.task == "detection" and split == "dev" and is_test:
+            best_thresh = thresh_max_f1(y_true, y_prob)
+            y_pred = (y_prob > best_thresh).astype(int)
+
+        scores, _, _ = eval_dict(
+            y_pred=y_pred, y=y_true, y_prob=y_prob, file_names=names_all,
+            average="binary" if cfg.task == "detection" else "weighted")
+        results = {"loss": nll.avg, "acc": scores["acc"], "F1": scores["F1"],
+                   "recall": scores["recall"], "precision": scores["precision"],
+                   "best_thresh": best_thresh}
+        if "auroc" in scores:
+            results["auroc"] = scores["auroc"]
+        return results
+
+    def _evaluate_ssl(self, params, split: str) -> Dict[str, float]:
+        nll = AverageMeter()
+        for batch in self.loaders[split]:
+            dbatch, valid, _ = self._device_batch(batch, self.cfg.test_batch_size)
+            loss, _ = self.eval_step(params, dbatch)
+            nll.update(float(loss), valid)
+        return {"loss": nll.avg}
+
+
+def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
+                   log, metrics_writer, mesh=None,
+                   init_params=None) -> Dict[str, float]:
+    """Full main() flow for the DCRNN tasks; returns final test results."""
+    model_cfg = cfg.dcrnn_config()
+    key = jax.random.PRNGKey(cfg.rand_seed)
+
+    if cfg.task == "SS pre-training":
+        from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
+
+        params = init_params or init_next_time_pred_model(key, model_cfg)
+    else:
+        from eeg_gnn_tpu.models.dcrnn import init_classification_model
+
+        params = init_params or init_classification_model(key, model_cfg)
+
+    # Warm start / fine-tune transplant (train.py:128-151)
+    if cfg.load_model_path:
+        if cfg.fine_tune:
+            from eeg_gnn_tpu.io import (
+                import_next_time_pred_params,
+                load_torch_state_dict,
+            )
+
+            if cfg.load_model_path.endswith((".pth.tar", ".pth", ".pt", ".tar")):
+                pre = import_next_time_pred_params(
+                    load_torch_state_dict(cfg.load_model_path),
+                    cfg.pretrained_num_rnn_layers)
+            else:
+                from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
+
+                pre_cfg = cfg.dcrnn_config(cfg.pretrained_num_rnn_layers)
+                pre = load_params_like(
+                    cfg.load_model_path,
+                    init_next_time_pred_model(key, pre_cfg))
+            params = build_finetune_params(params, pre, cfg.num_rnn_layers)
+        else:
+            params = load_params_like(cfg.load_model_path, params)
+
+    trainer = Trainer(cfg, model_cfg, loaders, scaler, log, metrics_writer,
+                      mesh=mesh)
+
+    if cfg.do_train:
+        params, saver = trainer.train(params, save_dir)
+        if os.path.exists(saver.best_path):
+            params = load_params_like(saver.best_path, params)
+
+    if cfg.task == "SS pre-training":
+        test = trainer.evaluate(params, "test")
+        log.info(f"Test set prediction MAE loss: {test['loss']:.3f}")
+        return test
+
+    dev = trainer.evaluate(params, "dev", is_test=True)
+    log.info("DEV set prediction results: "
+             + ", ".join(f"{k}: {v:.3f}" for k, v in dev.items()))
+    test = trainer.evaluate(params, "test", is_test=True,
+                            best_thresh=dev["best_thresh"])
+    log.info("TEST set prediction results: "
+             + ", ".join(f"{k}: {v:.3f}" for k, v in test.items()))
+    return test

@@ -1,0 +1,192 @@
+"""Training-stack unit tests: losses vs reference formulas, optimizer vs
+torch Adam semantics, checkpoint round-trip + transplant."""
+
+import numpy as np
+import pytest
+
+from conftest import import_reference_module, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="no reference mount")
+
+
+@needs_ref
+def test_losses_match_reference(rng):
+    import torch
+
+    ref = import_reference_module("utils")
+    from eeg_gnn_tpu.train.losses import (
+        compute_regression_loss,
+        masked_mae_loss,
+        masked_mse_loss,
+    )
+
+    y_pred = rng.randn(4, 12, 19, 100).astype(np.float32)
+    y_true = rng.randn(4, 12, 19, 100).astype(np.float32)
+    y_true[0, :3] = 0.0  # masked region
+
+    np.testing.assert_allclose(
+        float(masked_mae_loss(y_pred, y_true)),
+        float(ref.masked_mae_loss(torch.tensor(y_pred), torch.tensor(y_true))),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(masked_mse_loss(y_pred, y_true)),
+        float(ref.masked_mse_loss(torch.tensor(y_pred), torch.tensor(y_true))),
+        rtol=1e-5,
+    )
+
+    # inverse-scaled path, incl. the 'MAE'-hits-MSE-branch quirk
+    scaler = ref.StandardScaler(mean=np.float64(1.5), std=np.float64(2.5))
+    for name in ("mae", "MAE"):
+        theirs = float(
+            ref.compute_regression_loss(
+                torch.tensor(y_true), torch.tensor(y_pred),
+                standard_scaler=scaler, loss_fn=name)
+        )
+        ours = float(
+            compute_regression_loss(y_true, y_pred, mean=1.5, std=2.5,
+                                    loss_fn=name)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+
+@needs_ref
+def test_bce_ce_match_torch(rng):
+    import torch
+
+    from eeg_gnn_tpu.train.losses import bce_with_logits, cross_entropy
+
+    logits = rng.randn(16).astype(np.float32)
+    y = (rng.rand(16) > 0.5).astype(np.float32)
+    np.testing.assert_allclose(
+        float(bce_with_logits(logits, y)),
+        float(torch.nn.BCEWithLogitsLoss()(torch.tensor(logits), torch.tensor(y))),
+        rtol=1e-5,
+    )
+    logits4 = rng.randn(16, 4).astype(np.float32)
+    y4 = rng.randint(0, 4, 16)
+    np.testing.assert_allclose(
+        float(cross_entropy(logits4, y4)),
+        float(torch.nn.CrossEntropyLoss()(torch.tensor(logits4), torch.tensor(y4))),
+        rtol=1e-5,
+    )
+
+
+@needs_ref
+def test_optimizer_matches_torch_adam_recipe(rng):
+    """One quadratic param, a few steps: optax chain == torch Adam(+wd) with
+    grad clipping and per-epoch cosine annealing."""
+    import torch
+
+    from eeg_gnn_tpu.train.optim import make_optimizer
+
+    import jax
+    import jax.numpy as jnp
+
+    lr, wd, clip, epochs, spe = 1e-2, 5e-4, 0.5, 5, 2
+    w0 = rng.randn(7).astype(np.float32)
+    target = rng.randn(7).astype(np.float32)
+
+    # torch side
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
+    for epoch in range(epochs):
+        for _ in range(spe):
+            opt.zero_grad()
+            loss = ((tw - torch.tensor(target)) ** 2).sum()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_([tw], clip)
+            opt.step()
+        sched.step()
+
+    # ours
+    optimizer = make_optimizer(lr, wd, clip, epochs, spe)
+    params = jnp.asarray(w0)
+    state = optimizer.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(lambda w: jnp.sum((w - target) ** 2))(p)
+        u, s = optimizer.update(g, s, p)
+        return p + u, s
+
+    for _ in range(epochs * spe):
+        params, state = step(params, state)
+
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_checkpoint_roundtrip_and_transplant(tmp_path):
+    import jax
+
+    from eeg_gnn_tpu.models.dcrnn import (
+        DCRNNConfig,
+        init_classification_model,
+        init_next_time_pred_model,
+    )
+    from eeg_gnn_tpu.train.checkpoint import (
+        CheckpointSaver,
+        build_finetune_params,
+        load_params_like,
+        save_params,
+    )
+
+    cfg = DCRNNConfig(num_rnn_layers=2, rnn_units=8, input_dim=10,
+                      output_dim=10, max_diffusion_step=1)
+    params = init_classification_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    save_params(path, params, metadata={"epoch": 3})
+    loaded = load_params_like(path + ".npz", params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # transplant: 3-layer SSL encoder -> 2-layer classifier encoder
+    pre_cfg = DCRNNConfig(num_rnn_layers=3, rnn_units=8, input_dim=10,
+                          output_dim=10, max_diffusion_step=1)
+    pre = init_next_time_pred_model(jax.random.PRNGKey(1), pre_cfg)
+    merged = build_finetune_params(params, pre, 2)
+    for layer in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(merged["encoder"][layer]["gate_w"]),
+            np.asarray(pre["encoder"][layer]["gate_w"]))
+    # head untouched
+    np.testing.assert_array_equal(np.asarray(merged["fc_w"]),
+                                  np.asarray(params["fc_w"]))
+
+    # best/last semantics (maximize)
+    saver = CheckpointSaver(str(tmp_path / "run"), "auroc", maximize_metric=True)
+    opt_state = {"m": np.zeros(3)}
+    saver.save(1, params, opt_state, 0.5)
+    assert saver.best_val == 0.5
+    saver.save(2, params, opt_state, 0.4)
+    assert saver.best_val == 0.5
+    saver.save(3, params, opt_state, 0.6)
+    assert saver.best_val == 0.6
+
+
+@needs_ref
+def test_thresh_max_f1_matches_reference(rng):
+    ref = import_reference_module("utils")
+    from eeg_gnn_tpu.train.metrics import thresh_max_f1
+
+    y_true = (rng.rand(200) > 0.6).astype(int)
+    y_prob = np.clip(y_true * 0.4 + rng.rand(200) * 0.6, 0, 1)
+    assert thresh_max_f1(y_true, y_prob) == pytest.approx(
+        ref.thresh_max_f1(y_true, y_prob))
+
+
+@needs_ref
+def test_eval_dict_matches_reference(rng):
+    ref = import_reference_module("utils")
+    from eeg_gnn_tpu.train.metrics import eval_dict
+
+    y_true = rng.randint(0, 2, 100)
+    y_prob = rng.rand(100)
+    y_pred = (y_prob > 0.5).astype(int)
+    ours, _, _ = eval_dict(y_pred, y_true, y_prob, average="binary")
+    theirs, _, _ = ref.eval_dict(y_pred, y_true, y_prob, average="binary")
+    for k in theirs:
+        assert ours[k] == pytest.approx(theirs[k]), k
