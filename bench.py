@@ -45,18 +45,19 @@ def bench_ours(batch=BATCH, iters=20, warmup=3) -> float:
     import jax
     import jax.numpy as jnp
 
+    from eeg_gnn_tpu.config import ExperimentConfig
     from eeg_gnn_tpu.graphs import compute_supports_jnp
-    from eeg_gnn_tpu.models.dcrnn import DCRNNConfig, init_classification_model
+    from eeg_gnn_tpu.models.registry import build_model
     from eeg_gnn_tpu.train.optim import make_optimizer
     from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
 
-    cfg = DCRNNConfig(input_dim=INPUT_DIM, rnn_units=64, num_rnn_layers=2,
-                      max_diffusion_step=2, num_nodes=N_NODES, num_supports=1,
-                      num_classes=1)
-    params = init_classification_model(jax.random.PRNGKey(0), cfg)
+    exp_cfg = ExperimentConfig(do_train=True, graph_type="combined",
+                               num_rnn_layers=2, max_seq_len=T).finalize()
+    bundle = build_model(exp_cfg)
+    params, model_state = bundle.init(jax.random.PRNGKey(0))
     optimizer = make_optimizer(1e-4, 5e-4, 5.0, 100, 100)
     opt_state = optimizer.init(params)
-    loss_fn = supervised_loss_fn(cfg, "detection")
+    loss_fn = supervised_loss_fn(bundle, "detection")
     train_step = make_train_step(loss_fn, optimizer, donate=False)
 
     x, y, lengths, adj = _flagship_batch(batch)
@@ -70,14 +71,17 @@ def bench_ours(batch=BATCH, iters=20, warmup=3) -> float:
     rng = jax.random.PRNGKey(0)
 
     for _ in range(warmup):
-        params, opt_state, loss = train_step(params, opt_state, batch_dict, rng)
+        params, model_state, opt_state, loss = train_step(
+            params, model_state, opt_state, batch_dict, rng)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, batch_dict, rng)
+        params, model_state, opt_state, loss = train_step(
+            params, model_state, opt_state, batch_dict, rng)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss))
     return batch * iters / dt
 
 

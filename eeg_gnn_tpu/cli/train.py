@@ -63,13 +63,34 @@ def main(argv=None):
         loaders, _, scaler = load_dataset_detection(
             max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123, **common)
     elif cfg.task == "classification":
-        loaders, _, scaler = load_dataset_classification(
-            max_seq_len=cfg.max_seq_len, padding_val=0.0, **common)
+        if cfg.model_name == "densecnn":
+            # reference train.py:92-106 switches to the flat-clip loader
+            from eeg_gnn_tpu.data.datasets import (
+                load_dataset_densecnn_classification,
+            )
+
+            loaders, _, scaler = load_dataset_densecnn_classification(
+                input_dir=cfg.input_dir, raw_data_dir=cfg.raw_data_dir,
+                train_batch_size=cfg.train_batch_size,
+                test_batch_size=cfg.test_batch_size,
+                max_seq_len=cfg.max_seq_len, standardize=True,
+                num_workers=cfg.num_workers, padding_val=0.0,
+                augmentation=cfg.data_augment, use_fft=cfg.use_fft,
+                preproc_dir=cfg.preproc_dir, marker_dir=marker_dir)
+        else:
+            loaders, _, scaler = load_dataset_classification(
+                max_seq_len=cfg.max_seq_len, padding_val=0.0, **common)
     else:  # SS pre-training
         loaders, _, scaler = load_dataset_ssl(
             input_len=cfg.max_seq_len, output_len=cfg.output_seq_len, **common)
 
-    mesh = make_mesh(cfg.mesh_shape) if len(jax.devices()) > 1 else None
+    # DP mesh: the data axis must divide both batch sizes (batches are
+    # padded to those fixed shapes). Shrink to the gcd; 1 device -> no mesh.
+    import math
+
+    n_dev = len(jax.devices())
+    dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size), cfg.test_batch_size)
+    mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
                              mesh=mesh)
     with open(os.path.join(save_dir, "results.json"), "w") as f:

@@ -284,6 +284,80 @@ class SSLDataset(_BaseEEGDataset):
         )
 
 
+class DenseCNNClassificationDataset(_BaseEEGDataset):
+    """Flat (time, channels) clips for the Dense-CNN baseline.
+
+    Parity: ``data/dataloader_densecnn_classification.py:27-226``: the whole
+    variable-length seizure clip is FFT'd at once (n = clip length), padded
+    with zeros to ``clip_len*FREQUENCY/2`` bins, transposed to
+    (time, 19). No graphs. The reference's non-FFT branch references an
+    undefined variable (``:76``) so only the FFT path exists in practice.
+    """
+
+    def __init__(self, *, marker_dir, **kw):
+        super().__init__(**kw)
+        self.file_tuples = parse_classification_markers(
+            os.path.join(marker_dir, f"{self.split}Set_seizure_files.txt"))
+
+    def __len__(self):
+        return len(self.file_tuples)
+
+    def _slice(self, edf_fn, seizure_idx):
+        from eeg_gnn_tpu.constants import FREQUENCY
+        from eeg_gnn_tpu.data.clips import get_seizure_times, read_resampled_h5
+        from eeg_gnn_tpu.ops.fft_features import log_amplitude_fft_np
+
+        edf_file = self._lookup_edf(edf_fn)
+        h5_path = os.path.join(self.input_dir, edf_fn.split(".edf")[0] + ".h5")
+        signal = read_resampled_h5(h5_path)
+        times = get_seizure_times(edf_file.split(".edf")[0])
+        cur = times[seizure_idx]
+        pre_end = int(FREQUENCY * times[seizure_idx - 1][1]) if seizure_idx > 0 else 0
+        start_t = max(pre_end + 1, int(FREQUENCY * (cur[0] - 2)))
+        end_t = min(start_t + int(FREQUENCY * self.max_seq_len),
+                    int(FREQUENCY * cur[1]))
+        clip = signal[:, start_t:end_t]
+        eeg_clip = log_amplitude_fft_np(clip, n=clip.shape[-1])
+        seq_len = eeg_clip.shape[-1]
+        diff = int(FREQUENCY * self.max_seq_len / 2) - eeg_clip.shape[-1]
+        if diff > 0:
+            eeg_clip = np.concatenate(
+                [eeg_clip, np.zeros((eeg_clip.shape[0], diff))], axis=1)
+        return eeg_clip.T, seq_len  # (time, channels)
+
+    def __getitem__(self, idx):
+        edf_fn, seizure_class, seizure_idx = self.file_tuples[idx]
+        if self.preproc_dir is not None:
+            import h5py
+
+            path = os.path.join(self.preproc_dir, f"{edf_fn}_{seizure_idx}.h5")
+            with h5py.File(path, "r") as hf:
+                eeg_clip = hf["clip"][()]
+            seq_len = eeg_clip.shape[0]
+        else:
+            eeg_clip, seq_len = self._slice(edf_fn, seizure_idx)
+
+        if self.data_augment:
+            # reference reflects channel pairs on axis 1 of (time, ch)
+            reflected = eeg_clip.copy()
+            if self.rng.choice([True, False]):
+                from eeg_gnn_tpu.constants import get_swap_pairs
+
+                for a, b in get_swap_pairs():
+                    reflected[:, [a, b]] = eeg_clip[:, [b, a]]
+            eeg_clip = random_scale(reflected, self.rng, self.use_fft)
+        if self.standardize:
+            eeg_clip = self.scaler.transform(eeg_clip)
+        return (
+            eeg_clip.astype(np.float32),
+            np.int32(seizure_class),
+            np.int32(seq_len),
+            [],
+            [],
+            f"{edf_fn}_{seizure_idx}",
+        )
+
+
 # ---------------------------------------------------------------------------
 # Loader factories (reference load_dataset_* parity)
 # ---------------------------------------------------------------------------
@@ -372,6 +446,36 @@ def load_dataset_classification(input_dir, raw_data_dir, train_batch_size,
             data_augment=augmentation if split == "train" else False,
             adj_mat_dir=adj_mat_dir, graph_type=graph_type, top_k=top_k,
             filter_type=filter_type, use_fft=use_fft, preproc_dir=preproc_dir,
+        )
+
+    loaders, datasets = _make_loaders(make, train_batch_size, test_batch_size,
+                                      num_workers)
+    return loaders, datasets, scaler
+
+
+def load_dataset_densecnn_classification(input_dir, raw_data_dir,
+                                         train_batch_size,
+                                         test_batch_size=None, max_seq_len=60,
+                                         standardize=True, num_workers=8,
+                                         padding_val=0.0, augmentation=False,
+                                         use_fft=True, preproc_dir=None,
+                                         marker_dir=None):
+    """Parity: ``load_dataset_densecnn_classification``
+    (dataloader_densecnn_classification.py:228-307)."""
+    scaler = (
+        _load_scaler(marker_dir, "fft_", max_seq_len, "_single")
+        if standardize else None
+    )
+
+    def make(split):
+        return DenseCNNClassificationDataset(
+            marker_dir=marker_dir, input_dir=input_dir,
+            raw_data_dir=raw_data_dir, time_step_size=1,
+            max_seq_len=max_seq_len, standardize=standardize, scaler=scaler,
+            split=split,
+            data_augment=augmentation if split == "train" else False,
+            adj_mat_dir=None, graph_type=None, top_k=None,
+            filter_type="laplacian", use_fft=use_fft, preproc_dir=preproc_dir,
         )
 
     loaders, datasets = _make_loaders(make, train_batch_size, test_batch_size,

@@ -64,3 +64,66 @@ def import_classification_params(state: Dict[str, np.ndarray], num_rnn_layers: i
         "fc_w": jnp.asarray(state["fc.weight"]),
         "fc_b": jnp.asarray(state["fc.bias"]),
     }
+
+
+def import_lstm_params(state: Dict[str, np.ndarray], num_layers: int):
+    """Map a reference ``LSTMModel`` state dict (model/lstm.py) to ours."""
+    params = {}
+    for layer in range(num_layers):
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            params[f"{name}_l{layer}"] = jnp.asarray(state[f"lstm.{name}_l{layer}"])
+    params["fc_w"] = jnp.asarray(state["fc.weight"])
+    params["fc_b"] = jnp.asarray(state["fc.bias"])
+    return params
+
+
+def import_cnnlstm_params(state: Dict[str, np.ndarray]):
+    """Map a reference ``CNN_LSTM`` state dict (model/cnnlstm.py) to ours."""
+    params = {
+        "conv1_w": jnp.asarray(state["conv1.weight"]),
+        "conv1_b": jnp.asarray(state["conv1.bias"]),
+        "conv2_w": jnp.asarray(state["conv2.weight"]),
+        "conv2_b": jnp.asarray(state["conv2.bias"]),
+        "fc1_w": jnp.asarray(state["fc1.weight"]),
+        "fc1_b": jnp.asarray(state["fc1.bias"]),
+        "fc2_w": jnp.asarray(state["fc2.weight"]),
+        "fc2_b": jnp.asarray(state["fc2.bias"]),
+    }
+    for layer in range(2):
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            params[f"{name}_l{layer}"] = jnp.asarray(state[f"lstm.{name}_l{layer}"])
+    return params
+
+
+def import_densecnn_params(state: Dict[str, np.ndarray], template):
+    """Map a reference ``DenseCNN`` state dict (model/densecnn.py +
+    model/dense_inception/*) into our (params, state) trees. ``template``
+    is ``init_densecnn_params(...)`` output used for the ``_meta`` entry."""
+    params, bn_state = template
+    out = {}
+    prefix = "dense_inception."
+    for key in params:
+        if key.startswith("inception_"):
+            out[key] = {
+                br: {
+                    "w": jnp.asarray(state[f"{prefix}{key}.{br}.conv.weight"]),
+                    "b": jnp.asarray(state[f"{prefix}{key}.{br}.conv.bias"]),
+                }
+                for br in params[key]
+            }
+        elif key.startswith("conv1x1_"):
+            out[key] = {
+                "w": jnp.asarray(state[f"{prefix}{key}.conv.weight"]),
+                "b": jnp.asarray(state[f"{prefix}{key}.conv.bias"]),
+            }
+    out["fc1"] = {"w": jnp.asarray(state[f"{prefix}fc1.weight"]),
+                  "b": jnp.asarray(state[f"{prefix}fc1.bias"])}
+    out["fc2"] = {"w": jnp.asarray(state[f"{prefix}fc2.weight"]),
+                  "b": jnp.asarray(state[f"{prefix}fc2.bias"])}
+    out["fcbn1"] = {"scale": jnp.asarray(state[f"{prefix}fcbn1.weight"]),
+                    "bias": jnp.asarray(state[f"{prefix}fcbn1.bias"])}
+    new_state = {"fcbn1": {
+        "mean": jnp.asarray(state[f"{prefix}fcbn1.running_mean"]),
+        "var": jnp.asarray(state[f"{prefix}fcbn1.running_var"]),
+    }}
+    return out, new_state

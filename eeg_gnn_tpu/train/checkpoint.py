@@ -102,18 +102,23 @@ class CheckpointSaver:
     def best_path(self):
         return os.path.join(self.save_dir, "best.npz")
 
-    def save(self, epoch: int, params, opt_state, metric_val):
+    def save(self, epoch: int, params, opt_state, metric_val, model_state=None):
         meta = {"epoch": epoch, self.metric_name: metric_val}
         save_params(self.last_path[:-4], params, metadata=meta)
         # Optimizer state saved alongside for exact resume — the reference
         # stores it too but never restores it (utils.py:156-163 called
         # without optimizer from train.py); we restore it when asked.
         save_params(self.last_path[:-4] + ".opt", opt_state)
+        if model_state:
+            save_params(self.last_path[:-4] + ".state", model_state)
         if self.is_best(metric_val):
             self.best_val = metric_val
             shutil.copy(self.last_path, self.best_path)
             shutil.copy(self.last_path[:-4] + ".opt.npz",
                         self.best_path[:-4] + ".opt.npz")
+            if model_state:
+                shutil.copy(self.last_path[:-4] + ".state.npz",
+                            self.best_path[:-4] + ".state.npz")
             if os.path.exists(self.last_path + ".json"):
                 shutil.copy(self.last_path + ".json", self.best_path + ".json")
             self._print(f"New best checkpoint at epoch {epoch}...")

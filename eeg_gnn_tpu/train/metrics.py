@@ -35,7 +35,13 @@ def eval_dict(y_pred, y, y_prob=None, file_names=None, average="macro"):
         scores["F1"] = f1_score(y_true=y, y_pred=y_pred, average=average)
         scores["precision"] = precision_score(y_true=y, y_pred=y_pred, average=average)
         scores["recall"] = recall_score(y_true=y, y_pred=y_pred, average=average)
-        if y_prob is not None and len(set(np.asarray(y).tolist())) <= 2:
+        if (
+            y_prob is not None
+            and len(set(np.asarray(y).tolist())) <= 2
+            and np.asarray(y_prob).ndim == 1
+        ):
+            # binary case only; the reference reaches this branch solely
+            # with 1-D detection probabilities (train.py:380,414-418)
             scores["auroc"] = roc_auc_score(y_true=y, y_score=y_prob)
     return scores, pred_dict, true_dict
 

@@ -1,25 +1,24 @@
-"""Jittable train/eval step factories for all tasks.
+"""Jittable train/eval step factories for all tasks and model families.
 
 One compiled XLA program per (task, shapes): forward, loss, backward,
 gradient clip, Adam+wd update, all fused on device. With a mesh, batch
 dims ride the ``data`` axis (gradients all-reduce over ICI via psum
 inserted by the partitioner); params/opt state are replicated.
+
+Loss-fn contract: ``loss_fn(params, model_state, batch, rng, training[,
+batches_seen]) -> (loss, (outputs, new_model_state))``. Model state covers
+e.g. DenseCNN's BatchNorm running statistics; stateless models pass {}.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from eeg_gnn_tpu.models.dcrnn import (
-    DCRNNConfig,
-    classification_apply,
-    next_time_pred_apply,
-)
+from eeg_gnn_tpu.models.dcrnn import next_time_pred_apply
 from eeg_gnn_tpu.train.losses import (
     bce_with_logits,
     compute_regression_loss,
@@ -27,73 +26,80 @@ from eeg_gnn_tpu.train.losses import (
 )
 
 
-def supervised_loss_fn(cfg: DCRNNConfig, task: str):
-    """Loss for detection (BCE) / classification (CE) on DCRNN logits
-    (reference train.py:203-206, 257-268)."""
+def supervised_loss_fn(bundle, task: str):
+    """Loss for detection (BCE) / classification (CE) on model logits
+    (reference train.py:203-206, 257-268). ``bundle`` is a
+    ``models.registry.ModelBundle``."""
 
-    def loss_fn(params, batch, rng, training):
-        logits = classification_apply(
-            cfg, params, batch["x"], batch["seq_lengths"], batch["supports"],
-            training=training, rng=rng,
-        )
+    def loss_fn(params, model_state, batch, rng, training):
+        logits, new_state = bundle.apply(params, model_state, batch,
+                                         training=training, rng=rng)
         if task == "detection":
-            return bce_with_logits(logits, batch["y"]), logits
-        return cross_entropy(logits, batch["y"].astype(jnp.int32)), logits
+            return bce_with_logits(logits, batch["y"]), (logits, new_state)
+        return (
+            cross_entropy(logits, batch["y"].astype(jnp.int32)),
+            (logits, new_state),
+        )
 
     return loss_fn
 
 
-def ssl_loss_fn(cfg: DCRNNConfig, mean, std, loss_name_train: str = "MAE"):
+def ssl_loss_fn(model_cfg, mean, std, loss_name_train: str = "MAE"):
     """Masked regression loss on inverse-standardized next-window preds
     (reference train_ssl.py:163-170). ``loss_name_train`` defaults to the
     reference's literal 'MAE' string (which dispatches to the MSE branch —
     documented quirk in train/losses.py)."""
 
-    def loss_fn(params, batch, rng, training, batches_seen=None):
+    def loss_fn(params, model_state, batch, rng, training, batches_seen=None):
         preds = next_time_pred_apply(
-            cfg, params, batch["x"], batch["y"], batch["supports"],
+            model_cfg, params, batch["x"], batch["y"], batch["supports"],
             batches_seen=batches_seen, training=training, rng=rng,
         )
         loss = compute_regression_loss(
             batch["y"], preds, mean=mean, std=std,
             loss_fn=loss_name_train if training else "mae",
         )
-        return loss, preds
+        return loss, (preds, model_state)
 
     return loss_fn
 
 
 def make_train_step(loss_fn, optimizer, *, has_batches_seen: bool = False,
                     donate: bool = True):
-    """Build a jitted train step: (params, opt_state, batch, rng[, step])
-    -> (params, opt_state, loss)."""
+    """Build a jitted train step:
+    (params, model_state, opt_state, batch, rng[, batches_seen])
+    -> (params, model_state, opt_state, loss)."""
+
+    def _update(params, model_state, opt_state, batch, rng, extra):
+        def wrapped(p):
+            if has_batches_seen:
+                return loss_fn(p, model_state, batch, rng, True, extra)
+            return loss_fn(p, model_state, batch, rng, True)
+
+        (loss, (_, new_state)), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
 
     if has_batches_seen:
-        def step(params, opt_state, batch, rng, batches_seen):
-            (loss, _), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch, rng, True, batches_seen),
-                has_aux=True,
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        def step(params, model_state, opt_state, batch, rng, batches_seen):
+            return _update(params, model_state, opt_state, batch, rng,
+                           batches_seen)
     else:
-        def step(params, opt_state, batch, rng):
-            (loss, _), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch, rng, True), has_aux=True
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        def step(params, model_state, opt_state, batch, rng):
+            return _update(params, model_state, opt_state, batch, rng, None)
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
 
 def make_eval_step(loss_fn):
-    """Jitted eval step: (params, batch) -> (loss, outputs)."""
+    """Jitted eval step: (params, model_state, batch) -> (loss, outputs)."""
 
-    def step(params, batch):
-        return loss_fn(params, batch, jax.random.PRNGKey(0), False)
+    def step(params, model_state, batch):
+        loss, (outputs, _) = loss_fn(params, model_state, batch,
+                                     jax.random.PRNGKey(0), False)
+        return loss, outputs
 
     return jax.jit(step)
 
@@ -109,6 +115,9 @@ def shard_batch(batch: Dict[str, Any], mesh, batch_axes: Optional[Dict[str, int]
     batch_axes = batch_axes or {}
     out = {}
     for k, v in batch.items():
+        if v is None:
+            out[k] = None
+            continue
         axis = batch_axes.get(k, 1 if k == "supports" else 0)
         out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim, axis))
     return out

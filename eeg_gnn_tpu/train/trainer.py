@@ -2,21 +2,24 @@
 ``train.py``/``train_ssl.py`` entry flows.
 
 Orchestration parity (train.py:30-194, train_ssl.py:24-284): unique run
-dirs, args.json dump, logging + scalar metrics, dataset build, model build,
-warm-start / fine-tune transplant, epoch loop with per-epoch dev eval,
-best/last checkpointing, dev-loss early stopping, cosine LR per epoch,
-final dev+test eval with dev-tuned decision threshold for detection.
+dirs, args.json dump, logging + scalar metrics, dataset build, model build
+per ``--model_name``, warm-start / fine-tune transplant, epoch loop with
+per-epoch dev eval, best/last checkpointing, dev-loss early stopping,
+cosine LR per epoch, final dev+test eval with dev-tuned decision threshold
+for detection.
 
 TPU specifics: one jitted train step (forward+backward+clip+adam fused);
 batches are padded to a fixed shape (one XLA program, no recompiles) and
 masked at the metrics stage; params replicated / batch sharded over the
-mesh's ``data`` axis.
+mesh's ``data`` axis; model state (e.g. BatchNorm running stats) threaded
+functionally through the step.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +30,6 @@ from eeg_gnn_tpu.train.checkpoint import (
     CheckpointSaver,
     build_finetune_params,
     load_params_like,
-    save_params,
 )
 from eeg_gnn_tpu.train.metrics import AverageMeter, eval_dict, thresh_max_f1
 from eeg_gnn_tpu.train.optim import make_optimizer
@@ -47,31 +49,29 @@ def _pad_batch(batch, target: int):
         return batch, n
 
     def pad(a, axis=0):
-        reps = [1] * a.ndim
+        if a is None:
+            return None
         pad_n = target - n
         first = np.take(a, [0], axis=axis)
         return np.concatenate([a, np.repeat(first, pad_n, axis=axis)], axis=axis)
-
-    import dataclasses
 
     return dataclasses.replace(
         batch,
         x=pad(batch.x),
         y=pad(batch.y),
         seq_lengths=pad(batch.seq_lengths),
-        supports=None if batch.supports is None else pad(batch.supports, axis=1),
-        adj=None if batch.adj is None else pad(batch.adj),
+        supports=pad(batch.supports, axis=1),
+        adj=pad(batch.adj),
         names=batch.names + [batch.names[0]] * (target - n),
     ), n
 
 
 class Trainer:
-    """Drives training + evaluation for one task on one model family."""
+    """Drives training + evaluation for one task on one model bundle."""
 
-    def __init__(self, cfg: ExperimentConfig, model_cfg, loaders, scaler,
-                 log, metrics_writer, mesh=None):
+    def __init__(self, cfg: ExperimentConfig, loaders, scaler, log,
+                 metrics_writer, bundle=None, mesh=None):
         self.cfg = cfg
-        self.model_cfg = model_cfg
         self.loaders = loaders
         self.scaler = scaler
         self.log = log
@@ -87,11 +87,12 @@ class Trainer:
         if self.is_ssl:
             mean = None if scaler is None else jnp.float32(scaler.mean)
             std = None if scaler is None else jnp.float32(scaler.std)
-            self.loss_fn = ssl_loss_fn(model_cfg, mean, std)
+            self.loss_fn = ssl_loss_fn(cfg.dcrnn_config(), mean, std)
             self.train_step = make_train_step(self.loss_fn, self.optimizer,
                                               has_batches_seen=True)
         else:
-            self.loss_fn = supervised_loss_fn(model_cfg, cfg.task)
+            assert bundle is not None
+            self.loss_fn = supervised_loss_fn(bundle, cfg.task)
             self.train_step = make_train_step(self.loss_fn, self.optimizer)
         self.eval_step = make_eval_step(self.loss_fn)
 
@@ -103,7 +104,8 @@ class Trainer:
             "x": jnp.asarray(batch.x),
             "y": jnp.asarray(batch.y),
             "seq_lengths": jnp.asarray(batch.seq_lengths),
-            "supports": jnp.asarray(batch.supports),
+            "supports": None if batch.supports is None
+            else jnp.asarray(batch.supports),
         }
         if self.mesh is not None:
             from eeg_gnn_tpu.train.step import shard_batch
@@ -113,7 +115,7 @@ class Trainer:
 
     # -- training ----------------------------------------------------------
 
-    def train(self, params, save_dir: str):
+    def train(self, params, model_state, save_dir: str):
         cfg = self.cfg
         saver = CheckpointSaver(save_dir, cfg.metric_name,
                                 cfg.maximize_metric, log=self.log)
@@ -133,18 +135,20 @@ class Trainer:
                 dbatch, _, _ = self._device_batch(batch, cfg.train_batch_size)
                 rng, sub = jax.random.split(rng)
                 if self.is_ssl:
-                    params, opt_state, loss = self.train_step(
-                        params, opt_state, dbatch, sub, jnp.int32(step))
+                    params, model_state, opt_state, loss = self.train_step(
+                        params, model_state, opt_state, dbatch, sub,
+                        jnp.int32(step))
                 else:
-                    params, opt_state, loss = self.train_step(
-                        params, opt_state, dbatch, sub)
+                    params, model_state, opt_state, loss = self.train_step(
+                        params, model_state, opt_state, dbatch, sub)
                 step += bsz
                 self.tbx.add_scalar("train/Loss", float(loss), step)
 
             if epoch % cfg.eval_every == 0:
-                eval_results = self.evaluate(params, "dev")
+                eval_results = self.evaluate(params, model_state, "dev")
                 metric_val = eval_results.get(cfg.metric_name)
-                saver.save(epoch, params, opt_state, metric_val)
+                saver.save(epoch, params, opt_state, metric_val,
+                           model_state=model_state)
 
                 if eval_results["loss"] < prev_val_loss:
                     patience_count = 0
@@ -160,36 +164,34 @@ class Trainer:
                 for k, v in eval_results.items():
                     self.tbx.add_scalar(f"eval/{k}", v, step)
 
-        return params, saver
+        return params, model_state, saver
 
     # -- evaluation --------------------------------------------------------
 
-    def evaluate(self, params, split: str, is_test: bool = False,
+    def evaluate(self, params, model_state, split: str, is_test: bool = False,
                  best_thresh: float = 0.5) -> Dict[str, float]:
         cfg = self.cfg
         if self.is_ssl:
-            return self._evaluate_ssl(params, split)
+            return self._evaluate_ssl(params, model_state, split)
 
         nll = AverageMeter()
         y_pred_all, y_true_all, y_prob_all, names_all = [], [], [], []
         for batch in self.loaders[split]:
             dbatch, valid, names = self._device_batch(batch, cfg.test_batch_size)
-            loss, logits = self.eval_step(params, dbatch)
+            loss, logits = self.eval_step(params, model_state, dbatch)
             logits = np.asarray(logits)[:valid]
             y = np.asarray(batch.y).reshape(-1)[:valid]
             if cfg.num_classes == 1:
                 prob = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
                 pred = (prob > best_thresh).astype(int)
-                y_true = y.astype(int)
             else:
                 e = np.exp(logits - logits.max(axis=1, keepdims=True))
                 prob = e / e.sum(axis=1, keepdims=True)
                 pred = prob.argmax(axis=1).reshape(-1)
-                y_true = y.astype(int)
             nll.update(float(loss), valid)
             y_prob_all.append(prob)
             y_pred_all.append(pred)
-            y_true_all.append(y_true)
+            y_true_all.append(y.astype(int))
             names_all.extend(names[:valid])
 
         y_pred = np.concatenate(y_pred_all)
@@ -210,11 +212,11 @@ class Trainer:
             results["auroc"] = scores["auroc"]
         return results
 
-    def _evaluate_ssl(self, params, split: str) -> Dict[str, float]:
+    def _evaluate_ssl(self, params, model_state, split: str) -> Dict[str, float]:
         nll = AverageMeter()
         for batch in self.loaders[split]:
             dbatch, valid, _ = self._device_batch(batch, self.cfg.test_batch_size)
-            loss, _ = self.eval_step(params, dbatch)
+            loss, _ = self.eval_step(params, model_state, dbatch)
             nll.update(float(loss), valid)
         return {"loss": nll.avg}
 
@@ -222,18 +224,23 @@ class Trainer:
 def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
                    log, metrics_writer, mesh=None,
                    init_params=None) -> Dict[str, float]:
-    """Full main() flow for the DCRNN tasks; returns final test results."""
-    model_cfg = cfg.dcrnn_config()
+    """Full main() flow for all tasks/models; returns final test results."""
     key = jax.random.PRNGKey(cfg.rand_seed)
 
+    bundle = None
+    model_state = {}
     if cfg.task == "SS pre-training":
         from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
 
-        params = init_params or init_next_time_pred_model(key, model_cfg)
+        params = init_params or init_next_time_pred_model(key, cfg.dcrnn_config())
     else:
-        from eeg_gnn_tpu.models.dcrnn import init_classification_model
+        from eeg_gnn_tpu.models.registry import build_model
 
-        params = init_params or init_classification_model(key, model_cfg)
+        bundle = build_model(cfg)
+        if init_params is None:
+            params, model_state = bundle.init(key)
+        else:
+            params = init_params
 
     # Warm start / fine-tune transplant (train.py:128-151)
     if cfg.load_model_path:
@@ -258,23 +265,26 @@ def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
         else:
             params = load_params_like(cfg.load_model_path, params)
 
-    trainer = Trainer(cfg, model_cfg, loaders, scaler, log, metrics_writer,
-                      mesh=mesh)
+    trainer = Trainer(cfg, loaders, scaler, log, metrics_writer,
+                      bundle=bundle, mesh=mesh)
 
     if cfg.do_train:
-        params, saver = trainer.train(params, save_dir)
+        params, model_state, saver = trainer.train(params, model_state, save_dir)
         if os.path.exists(saver.best_path):
             params = load_params_like(saver.best_path, params)
+            state_path = saver.best_path[:-4] + ".state.npz"
+            if model_state and os.path.exists(state_path):
+                model_state = load_params_like(state_path, model_state)
 
     if cfg.task == "SS pre-training":
-        test = trainer.evaluate(params, "test")
+        test = trainer.evaluate(params, model_state, "test")
         log.info(f"Test set prediction MAE loss: {test['loss']:.3f}")
         return test
 
-    dev = trainer.evaluate(params, "dev", is_test=True)
+    dev = trainer.evaluate(params, model_state, "dev", is_test=True)
     log.info("DEV set prediction results: "
              + ", ".join(f"{k}: {v:.3f}" for k, v in dev.items()))
-    test = trainer.evaluate(params, "test", is_test=True,
+    test = trainer.evaluate(params, model_state, "test", is_test=True,
                             best_thresh=dev["best_thresh"])
     log.info("TEST set prediction results: "
              + ", ".join(f"{k}: {v:.3f}" for k, v in test.items()))
