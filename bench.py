@@ -41,9 +41,13 @@ def _flagship_batch(batch):
     return x, y, lengths, adj
 
 
-def bench_ours(batch=BATCH, iters=20, warmup=3) -> float:
+def bench_ours(batch=BATCH, iters=100, warmup=10) -> float:
     import jax
     import jax.numpy as jnp
+
+    from eeg_gnn_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from eeg_gnn_tpu.config import ExperimentConfig
     from eeg_gnn_tpu.graphs import compute_supports_jnp
@@ -73,16 +77,21 @@ def bench_ours(batch=BATCH, iters=20, warmup=3) -> float:
     for _ in range(warmup):
         params, model_state, opt_state, loss = train_step(
             params, model_state, opt_state, batch_dict, rng)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, model_state, opt_state, loss = train_step(
-            params, model_state, opt_state, batch_dict, rng)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(float(loss))
-    return batch * iters / dt
+    # best-of-3 timing rounds. Sync via an actual device-to-host transfer:
+    # under the experimental axon TPU tunnel, block_until_ready returns
+    # before remote execution completes and under-reports by >10x.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, model_state, opt_state, loss = train_step(
+                params, model_state, opt_state, batch_dict, rng)
+        loss_val = float(loss)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(loss_val)
+    return batch * iters / best
 
 
 def bench_reference(batch=BATCH, iters=3, warmup=1) -> float:

@@ -1,0 +1,116 @@
+"""Secondary benchmarks: diffusion-conv SpMM edges/s (north-star metric),
+Pallas vs XLA fused diffusion, and per-clip-supports vs shared-support
+paths. Writes benchmarks/spmm_results.json.
+
+Run: python benchmarks/spmm_bench.py [--batch 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    # real D2H transfer: under the axon TPU tunnel block_until_ready
+    # returns before remote execution completes
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def _time(fn, *args, iters=50, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--feat", type=int, default=164)
+    ap.add_argument("--out", type=int, default=128)
+    ap.add_argument("--k", type=int, default=2)
+    ns = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from eeg_gnn_tpu.graphs.sparse import from_dense_batch, spmm
+    from eeg_gnn_tpu.ops.diffusion import diffusion_conv
+    from eeg_gnn_tpu.ops.pallas_kernels import (
+        fused_diffusion_conv,
+        rearrange_weight,
+    )
+
+    b, n, d, o, k = ns.batch, 19, ns.feat, ns.out, ns.k
+    m = k + 1
+    rng = np.random.RandomState(0)
+    sup = jnp.asarray(rng.randn(1, b, n, n).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    w = jnp.asarray(rng.randn(d * m, o).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(o).astype(np.float32))
+    w_r = rearrange_weight(w, d, m)
+
+    results = {"config": {"batch": b, "feat": d, "out": o, "K": k,
+                          "device": str(jax.devices()[0])}}
+
+    # XLA batched-dense diffusion conv
+    f_xla = jax.jit(lambda s_, x_: diffusion_conv(s_, x_, w, bias, k))
+    t_xla = _time(f_xla, sup, x)
+    results["xla_diffusion_conv_ms"] = t_xla * 1e3
+
+    # Pallas fused kernel
+    try:
+        f_pl = jax.jit(lambda s_, x_: fused_diffusion_conv(s_, x_, w_r, bias, k))
+        t_pl = _time(f_pl, sup, x)
+        results["pallas_fused_ms"] = t_pl * 1e3
+    except Exception as e:
+        results["pallas_fused_error"] = str(e)
+
+    # shared-support (distance-graph) path: (N, N) support broadcast
+    sup_shared = sup[:, 0]
+    f_sh = jax.jit(lambda s_, x_: diffusion_conv(s_, x_, w, bias, k))
+    t_sh = _time(f_sh, sup_shared, x)
+    results["xla_shared_support_ms"] = t_sh * 1e3
+
+    # block-diagonal sparse segment-sum SpMM (support matmul only)
+    adj = jnp.abs(jnp.asarray(rng.randn(b, n, n).astype(np.float32)))
+    g = from_dense_batch(adj)
+    xx = x.reshape(b * n, d)
+    f_sp = jax.jit(lambda v, x_: spmm(type(g)(g.rows, g.cols, v, g.num_nodes), x_))
+    t_sp = _time(f_sp, g.values, xx)
+    results["sparse_segment_spmm_ms"] = t_sp * 1e3
+
+    # north-star: effective edges/s for the diffusion support matmuls
+    # (K support applications x B clips x N*N edge slots x D features)
+    edges = k * b * n * n
+    results["edges_per_s_xla"] = edges * d / t_xla
+    if "pallas_fused_ms" in results:
+        results["edges_per_s_pallas"] = edges * d / t_pl
+
+    out_path = os.path.join(os.path.dirname(__file__), "spmm_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

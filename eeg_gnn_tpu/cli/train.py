@@ -31,6 +31,10 @@ def main(argv=None):
 
     import jax
 
+    from eeg_gnn_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from eeg_gnn_tpu.data.datasets import (
         load_dataset_classification,
         load_dataset_detection,

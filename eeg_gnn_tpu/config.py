@@ -69,6 +69,7 @@ class ExperimentConfig:
     mesh_shape: str = "data:-1"  # e.g. "data:8" / "data:4,graph:2"
     on_device_graphs: bool = True  # build correlation graphs on device
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
+    scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
 
     # Derived
     maximize_metric: bool = True
@@ -115,6 +116,8 @@ class ExperimentConfig:
             dropout=self.dropout,
             cl_decay_steps=self.cl_decay_steps,
             use_curriculum_learning=self.use_curriculum_learning,
+            use_pallas=self.use_pallas,
+            scan_unroll=self.scan_unroll,
         )
 
     def to_json(self) -> str:
@@ -186,6 +189,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_on_device_graphs", dest="on_device_graphs",
                    default=True, action="store_false")
     _add_bool_flag(p, "use_pallas", "Use Pallas diffusion kernels.")
+    p.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
     return p
 
 

@@ -47,6 +47,8 @@ class DCGRUConfig:
     num_nodes: int
     num_supports: int
     activation: str = "tanh"  # 'tanh' | 'relu' | 'linear'
+    use_pallas: bool = False  # fused Pallas kernel for in-scan diffusion
+    scan_unroll: int = 1      # lax.scan unroll factor (amortizes loop overhead)
 
     @property
     def num_matrices(self) -> int:
@@ -150,17 +152,43 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
     x_proj = jnp.matmul(x_feat, wx)
     gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
 
+    if cfg.use_pallas and supports.ndim == 4:
+        # Fused Pallas path: diffusion + GEMM in one VMEM-resident kernel.
+        from eeg_gnn_tpu.ops.pallas_kernels import (
+            fused_diffusion_conv,
+            rearrange_weight,
+        )
+
+        m = cfg.num_matrices
+        wh_gate_r = rearrange_weight(wh_gate, cfg.num_units, m)
+        wh_cand_r = rearrange_weight(wh_cand, cfg.num_units, m)
+
+        def hidden_gate(h):
+            return fused_diffusion_conv(supports, h, wh_gate_r,
+                                        params["gate_b"], k)
+
+        def hidden_cand(rh):
+            return fused_diffusion_conv(supports, rh, wh_cand_r,
+                                        params["cand_b"], k)
+    else:
+        def hidden_gate(h):
+            h_feat = _flat(chebyshev_diffusion(supports, h, k))
+            return jnp.matmul(h_feat, wh_gate) + params["gate_b"]
+
+        def hidden_cand(rh):
+            rh_feat = _flat(chebyshev_diffusion(supports, rh, k))
+            return jnp.matmul(rh_feat, wh_cand) + params["cand_b"]
+
     def step(h, inp):
         gx, cx = inp
-        h_feat = _flat(chebyshev_diffusion(supports, h, k))
-        ru = jax.nn.sigmoid(gx + jnp.matmul(h_feat, wh_gate) + params["gate_b"])
+        ru = jax.nn.sigmoid(gx + hidden_gate(h))
         r, u = ru[..., :h_units], ru[..., h_units:]
-        rh_feat = _flat(chebyshev_diffusion(supports, r * h, k))
-        c = act(cx + jnp.matmul(rh_feat, wh_cand) + params["cand_b"])
+        c = act(cx + hidden_cand(r * h))
         h_new = u * h + (1.0 - u) * c
         return h_new, h_new
 
-    h_last, h_seq = jax.lax.scan(step, h0, (gate_x, cand_x))
+    h_last, h_seq = jax.lax.scan(step, h0, (gate_x, cand_x),
+                                 unroll=cfg.scan_unroll)
     return h_last, h_seq
 
 
@@ -170,11 +198,13 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 
 
 def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
-                    num_supports, num_layers, activation="tanh"):
+                    num_supports, num_layers, activation="tanh",
+                    use_pallas=False, scan_unroll=1):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
-                               num_supports, activation)
+                               num_supports, activation, use_pallas,
+                               scan_unroll)
     return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
 
 

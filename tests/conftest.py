@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
