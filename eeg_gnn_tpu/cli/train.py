@@ -63,9 +63,24 @@ def main(argv=None):
         filter_type=cfg.filter_type, use_fft=cfg.use_fft,
         preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
     )
+    use_device_pipeline = (
+        cfg.device_pipeline and cfg.task == "detection"
+        and cfg.model_name == "dcrnn"
+    )
+    input_pipeline = None
     if cfg.task == "detection":
         loaders, _, scaler = load_dataset_detection(
-            max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123, **common)
+            max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
+            raw_mode=use_device_pipeline, **common)
+        if use_device_pipeline:
+            from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+
+            input_pipeline = make_device_pipeline(
+                graph_type=cfg.graph_type, filter_type=cfg.filter_type,
+                top_k=cfg.top_k, use_fft=cfg.use_fft,
+                time_step_size=cfg.time_step_size, scaler=scaler,
+                augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
+                num_nodes=cfg.num_nodes)
     elif cfg.task == "classification":
         if cfg.model_name == "densecnn":
             # reference train.py:92-106 switches to the flat-clip loader
@@ -96,7 +111,7 @@ def main(argv=None):
     dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size), cfg.test_batch_size)
     mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
-                             mesh=mesh)
+                             mesh=mesh, input_pipeline=input_pipeline)
     with open(os.path.join(save_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results

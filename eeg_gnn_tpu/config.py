@@ -67,7 +67,7 @@ class ExperimentConfig:
     # TPU-framework extensions (no reference counterpart)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     mesh_shape: str = "data:-1"  # e.g. "data:8" / "data:4,graph:2"
-    on_device_graphs: bool = True  # build correlation graphs on device
+    device_pipeline: bool = False  # fused on-device input pipeline (raw clips in)
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
 
@@ -118,6 +118,7 @@ class ExperimentConfig:
             use_curriculum_learning=self.use_curriculum_learning,
             use_pallas=self.use_pallas,
             scan_unroll=self.scan_unroll,
+            compute_dtype=self.dtype,
         )
 
     def to_json(self) -> str:
@@ -186,8 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=("float32", "bfloat16"))
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
-    p.add_argument("--no_on_device_graphs", dest="on_device_graphs",
-                   default=True, action="store_false")
+    _add_bool_flag(p, "device_pipeline",
+                   "Fused on-device input pipeline (featurize+graphs in-step).")
     _add_bool_flag(p, "use_pallas", "Use Pallas diffusion kernels.")
     p.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
     return p

@@ -128,6 +128,15 @@ def slice_classification_clip(h5_path: str, edf_path: str, seizure_idx: int,
     return featurize_clip_np(clip, time_step_size, FREQUENCY, use_fft)
 
 
+def slice_raw_clip(h5_path: str, clip_idx: int, clip_len: int = 60):
+    """Raw (num_channels, clip_len*FREQUENCY) slice for the on-device
+    featurization pipeline — host work is just read + slice."""
+    signal = read_resampled_h5(h5_path)
+    step = int(FREQUENCY * clip_len)
+    start = clip_idx * step
+    return np.ascontiguousarray(signal[:, start:start + step])
+
+
 def pad_clip(clip: np.ndarray, max_seq_len: int, padding_val: float = 0.0):
     """Zero-pad a (T, N, D) clip to max_seq_len; returns (padded, seq_len).
 

@@ -171,6 +171,26 @@ class DetectionDataset(_BaseEEGDataset):
         )
 
 
+class RawDetectionDataset(DetectionDataset):
+    """Detection clips in RAW form for the fused on-device pipeline: the
+    host only reads + slices the signal; FFT/augment/standardize/graphs run
+    inside the jitted train step (data/device_pipeline.py)."""
+
+    def __getitem__(self, idx):
+        h5_fn, seizure_label = self.file_tuples[idx]
+        clip_idx = int(h5_fn.split("_")[-1].split(".h5")[0])
+        h5_path = os.path.join(self.input_dir, h5_fn.split(".edf")[0] + ".h5")
+        raw = clip_ops.slice_raw_clip(h5_path, clip_idx, self.max_seq_len)
+        return (
+            raw.astype(np.float32),  # (C, clip_len*FREQUENCY)
+            np.float32(seizure_label),
+            np.int32(self.max_seq_len),
+            [],
+            [],
+            h5_fn.split(".h5")[0],
+        )
+
+
 class ClassificationDataset(_BaseEEGDataset):
     """4-class seizure-type clips, variable length, zero padded.
 
@@ -392,19 +412,21 @@ def load_dataset_detection(input_dir, raw_data_dir, train_batch_size,
                            graph_type=None, top_k=None,
                            filter_type="laplacian", use_fft=False,
                            sampling_ratio=1, seed=123, preproc_dir=None,
-                           marker_dir=None):
+                           marker_dir=None, raw_mode=False):
     """Parity: ``load_dataset_detection`` (dataloader_detection.py:419-525).
     ``marker_dir`` points at the file-marker directory (the reference
-    hard-codes its repo-relative path)."""
+    hard-codes its repo-relative path). ``raw_mode`` emits raw clips for the
+    fused on-device pipeline."""
     if graph_type is not None and graph_type not in ["individual", "combined"]:
         raise NotImplementedError
     scaler = (
         _load_scaler(marker_dir, "seq2seq_fft_", max_seq_len, "_szdetect_single")
         if standardize else None
     )
+    cls = RawDetectionDataset if raw_mode else DetectionDataset
 
     def make(split):
-        return DetectionDataset(
+        return cls(
             marker_dir=marker_dir, sampling_ratio=sampling_ratio, seed=seed,
             input_dir=input_dir, raw_data_dir=raw_data_dir,
             time_step_size=time_step_size, max_seq_len=max_seq_len,

@@ -1,0 +1,129 @@
+"""Fused on-device input pipeline (north-star "fused FFT-window dataloader").
+
+The reference featurizes per sample on the host in DataLoader workers: FFT
+per 1 s window, augmentation, standardization, 171 xcorr pairs + supports —
+the CPU-bound hot loop (SURVEY.md §3.6 #2). Here hosts only read + slice
+raw clips; everything else runs *inside the jitted train step* on device:
+
+    raw (B, C, L) --> windows/FFT --> reflect+scale augment --> z-score
+                  \-> correlation Gram -> top-k -> random-walk supports
+                      (or per-sample choice of the two distance-graph
+                       support variants under reflection)
+
+Parity notes (all verified against the host path in tests):
+- augmentation order matches the reference: augment THEN standardize;
+  scale is additive log on FFT features (dataloader_detection.py:233-256);
+- the correlation graph is built from the UN-augmented features —
+  reference dead-code quirk (graphs/xcorr.py);
+- the distance graph under reflection uses the reference's quirky swapped
+  adjacency, precomputed host-side as a second support variant;
+- augmentation randomness comes from the step PRNG (statistically
+  equivalent to the reference's np.random stream, not bit-identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeg_gnn_tpu.constants import FREQUENCY, get_swap_pairs
+from eeg_gnn_tpu.graphs import (
+    compute_supports,
+    compute_supports_jnp,
+    correlation_adjacency_jnp,
+    load_distance_adjacency,
+    swap_adjacency_nodes,
+)
+
+
+def reflection_permutation(num_nodes: int) -> np.ndarray:
+    """Node permutation realizing the left-right electrode reflection."""
+    perm = np.arange(num_nodes)
+    for a, b in get_swap_pairs():
+        perm[a], perm[b] = perm[b], perm[a]
+    return perm
+
+
+@dataclasses.dataclass(frozen=True)
+class DevicePipeline:
+    """Jit-friendly featurizer closure; build with :func:`make_device_pipeline`."""
+
+    time_step_size: int
+    use_fft: bool
+    graph_type: str            # 'individual' | 'combined'
+    filter_type: str
+    top_k: Optional[int]
+    mean: float
+    std: float
+    augment: bool
+    node_perm: jnp.ndarray              # (N,) reflection permutation
+    dist_supports: Optional[jnp.ndarray]         # (S, N, N) or None
+    dist_supports_swapped: Optional[jnp.ndarray]  # (S, N, N) or None
+
+    def __call__(self, raw, rng, training: bool):
+        """raw (B, C, L) float32 -> (x (B,T,C,D), supports (S,B,N,N))."""
+        from eeg_gnn_tpu.ops.fft_features import featurize_clip
+
+        feats = featurize_clip(raw, self.time_step_size, FREQUENCY,
+                               self.use_fft)  # (B, T, C, D)
+        b = feats.shape[0]
+
+        do_aug = self.augment and training
+        if do_aug:
+            k_ref, k_scale = jax.random.split(rng)
+            reflect = jax.random.bernoulli(k_ref, 0.5, (b,))
+            reflected = feats[:, :, self.node_perm, :]
+            aug = jnp.where(reflect[:, None, None, None], reflected, feats)
+            scale = jax.random.uniform(k_scale, (b,), minval=0.8, maxval=1.2)
+            if self.use_fft:
+                aug = aug + jnp.log(scale)[:, None, None, None]
+            else:
+                aug = aug * scale[:, None, None, None]
+        else:
+            reflect = jnp.zeros((b,), bool)
+            aug = feats
+
+        x = (aug - self.mean) / self.std
+
+        if self.graph_type == "individual":
+            # reference quirk: graph from the UN-augmented features
+            adj = correlation_adjacency_jnp(feats, top_k=self.top_k)
+            supports = compute_supports_jnp(adj, self.filter_type)
+        else:
+            supports = jnp.where(
+                reflect[None, :, None, None],
+                self.dist_supports_swapped[:, None],
+                self.dist_supports[:, None],
+            )  # (S, B, N, N)
+        return x, supports
+
+
+def make_device_pipeline(*, graph_type: str, filter_type: str,
+                         top_k: Optional[int], use_fft: bool,
+                         time_step_size: int, scaler, augment: bool,
+                         adj_mat_dir: Optional[str] = None,
+                         num_nodes: int = 19) -> DevicePipeline:
+    dist_sup = dist_sup_sw = None
+    if graph_type == "combined":
+        adj = load_distance_adjacency(adj_mat_dir)
+        dist_sup = jnp.asarray(np.stack(compute_supports(adj, filter_type)))
+        adj_sw = swap_adjacency_nodes(adj, get_swap_pairs())
+        dist_sup_sw = jnp.asarray(
+            np.stack(compute_supports(adj_sw, filter_type)))
+    return DevicePipeline(
+        time_step_size=time_step_size,
+        use_fft=use_fft,
+        graph_type=graph_type,
+        filter_type=filter_type,
+        top_k=top_k,
+        mean=float(scaler.mean) if scaler is not None else 0.0,
+        std=float(scaler.std) if scaler is not None else 1.0,
+        augment=augment,
+        node_perm=jnp.asarray(reflection_permutation(num_nodes)),
+        dist_supports=dist_sup,
+        dist_supports_swapped=dist_sup_sw,
+    )

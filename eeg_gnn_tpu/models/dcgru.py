@@ -49,6 +49,8 @@ class DCGRUConfig:
     activation: str = "tanh"  # 'tanh' | 'relu' | 'linear'
     use_pallas: bool = False  # fused Pallas kernel for in-scan diffusion
     scan_unroll: int = 1      # lax.scan unroll factor (amortizes loop overhead)
+    compute_dtype: str = "float32"  # 'bfloat16' runs the hoisted GEMMs on
+    # the MXU in bf16 with f32 accumulation (params/state stay f32)
 
     @property
     def num_matrices(self) -> int:
@@ -149,7 +151,13 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
     # (Din*M, 3H) GEMM for the input contribution to gate and candidate.
     x_feat = _flat(chebyshev_diffusion(supports, x_seq, k))  # (T,B,N,Din*M)
     wx = jnp.concatenate([wx_gate, wx_cand], axis=1)  # (Din*M, 3H)
-    x_proj = jnp.matmul(x_feat, wx)
+    if cfg.compute_dtype == "bfloat16":
+        # bf16 MXU path for the FLOPs-dominant GEMM; f32 accumulation
+        x_proj = jnp.matmul(x_feat.astype(jnp.bfloat16),
+                            wx.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+    else:
+        x_proj = jnp.matmul(x_feat, wx)
     gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
 
     if cfg.use_pallas and supports.ndim == 4:
@@ -199,12 +207,13 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 
 def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
-                    use_pallas=False, scan_unroll=1):
+                    use_pallas=False, scan_unroll=1,
+                    compute_dtype="float32"):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
                                num_supports, activation, use_pallas,
-                               scan_unroll)
+                               scan_unroll, compute_dtype)
     return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
 
 

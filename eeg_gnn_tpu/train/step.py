@@ -26,12 +26,21 @@ from eeg_gnn_tpu.train.losses import (
 )
 
 
-def supervised_loss_fn(bundle, task: str):
+def supervised_loss_fn(bundle, task: str, input_pipeline=None):
     """Loss for detection (BCE) / classification (CE) on model logits
     (reference train.py:203-206, 257-268). ``bundle`` is a
-    ``models.registry.ModelBundle``."""
+    ``models.registry.ModelBundle``.
+
+    With ``input_pipeline`` (data/device_pipeline.py), the batch carries raw
+    clips under 'raw' and featurization + graph construction fuse into the
+    same XLA program as the model step.
+    """
 
     def loss_fn(params, model_state, batch, rng, training):
+        if input_pipeline is not None and batch.get("raw") is not None:
+            rng, k_pipe = jax.random.split(rng)
+            x, supports = input_pipeline(batch["raw"], k_pipe, training)
+            batch = {**batch, "x": x, "supports": supports}
         logits, new_state = bundle.apply(params, model_state, batch,
                                          training=training, rng=rng)
         if task == "detection":

@@ -70,13 +70,14 @@ class Trainer:
     """Drives training + evaluation for one task on one model bundle."""
 
     def __init__(self, cfg: ExperimentConfig, loaders, scaler, log,
-                 metrics_writer, bundle=None, mesh=None):
+                 metrics_writer, bundle=None, mesh=None, input_pipeline=None):
         self.cfg = cfg
         self.loaders = loaders
         self.scaler = scaler
         self.log = log
         self.tbx = metrics_writer
         self.mesh = mesh
+        self.input_pipeline = input_pipeline
         self.is_ssl = cfg.task == "SS pre-training"
 
         steps_per_epoch = max(1, len(loaders["train"]))
@@ -92,7 +93,8 @@ class Trainer:
                                               has_batches_seen=True)
         else:
             assert bundle is not None
-            self.loss_fn = supervised_loss_fn(bundle, cfg.task)
+            self.loss_fn = supervised_loss_fn(bundle, cfg.task,
+                                              input_pipeline=input_pipeline)
             self.train_step = make_train_step(self.loss_fn, self.optimizer)
         self.eval_step = make_eval_step(self.loss_fn)
 
@@ -100,13 +102,21 @@ class Trainer:
 
     def _device_batch(self, batch, batch_size: int):
         batch, valid = _pad_batch(batch, batch_size)
-        d = {
-            "x": jnp.asarray(batch.x),
-            "y": jnp.asarray(batch.y),
-            "seq_lengths": jnp.asarray(batch.seq_lengths),
-            "supports": None if batch.supports is None
-            else jnp.asarray(batch.supports),
-        }
+        if self.input_pipeline is not None:
+            d = {
+                "raw": jnp.asarray(batch.x),  # (B, C, L) raw clips
+                "y": jnp.asarray(batch.y),
+                "seq_lengths": jnp.asarray(batch.seq_lengths),
+                "supports": None,
+            }
+        else:
+            d = {
+                "x": jnp.asarray(batch.x),
+                "y": jnp.asarray(batch.y),
+                "seq_lengths": jnp.asarray(batch.seq_lengths),
+                "supports": None if batch.supports is None
+                else jnp.asarray(batch.supports),
+            }
         if self.mesh is not None:
             from eeg_gnn_tpu.train.step import shard_batch
 
@@ -222,8 +232,8 @@ class Trainer:
 
 
 def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
-                   log, metrics_writer, mesh=None,
-                   init_params=None) -> Dict[str, float]:
+                   log, metrics_writer, mesh=None, init_params=None,
+                   input_pipeline=None) -> Dict[str, float]:
     """Full main() flow for all tasks/models; returns final test results."""
     key = jax.random.PRNGKey(cfg.rand_seed)
 
@@ -266,7 +276,7 @@ def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
             params = load_params_like(cfg.load_model_path, params)
 
     trainer = Trainer(cfg, loaders, scaler, log, metrics_writer,
-                      bundle=bundle, mesh=mesh)
+                      bundle=bundle, mesh=mesh, input_pipeline=input_pipeline)
 
     if cfg.do_train:
         params, model_state, saver = trainer.train(params, model_state, save_dir)

@@ -1,0 +1,135 @@
+"""Fused on-device input pipeline vs the host (reference-parity) path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eeg_gnn_tpu.constants import FREQUENCY
+from eeg_gnn_tpu.data.device_pipeline import (
+    make_device_pipeline,
+    reflection_permutation,
+)
+from eeg_gnn_tpu.data.scaler import StandardScaler
+from eeg_gnn_tpu.graphs import compute_supports, correlation_adjacency
+from eeg_gnn_tpu.ops.fft_features import featurize_clip_np
+
+
+class _FakeAdj:
+    pass
+
+
+@pytest.fixture()
+def dist_pkl(tmp_path, rng):
+    import pickle
+
+    adj = np.abs(rng.rand(19, 19)).astype(np.float32)
+    adj = (adj + adj.T) / 2
+    np.fill_diagonal(adj, 1.0)
+    path = str(tmp_path / "adj.pkl")
+    with open(path, "wb") as f:
+        pickle.dump([["c"] * 19, {}, adj], f)
+    return path
+
+
+def test_individual_graph_pipeline_matches_host(rng):
+    """No augmentation: device pipeline output == host featurize + xcorr
+    graph + supports + z-score."""
+    scaler = StandardScaler(mean=np.float64(0.3), std=np.float64(2.0))
+    pipe = make_device_pipeline(
+        graph_type="individual", filter_type="dual_random_walk", top_k=3,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=False)
+
+    raw = rng.randn(3, 19, 12 * FREQUENCY).astype(np.float32) * 20
+    x, supports = jax.jit(lambda r, k: pipe(r, k, False))(
+        jnp.asarray(raw), jax.random.PRNGKey(0))
+
+    for b in range(3):
+        host_feat = featurize_clip_np(raw[b].astype(np.float64), 1, FREQUENCY,
+                                      True)
+        host_x = scaler.transform(host_feat)
+        np.testing.assert_allclose(np.asarray(x[b]), host_x, rtol=1e-3,
+                                   atol=1e-3)
+        adj = correlation_adjacency(host_feat, top_k=3)
+        host_sups = compute_supports(adj, "dual_random_walk")
+        for s in range(2):
+            np.testing.assert_allclose(np.asarray(supports[s, b]),
+                                       host_sups[s], rtol=2e-3, atol=2e-3)
+
+
+def test_combined_graph_pipeline_and_reflection(rng, dist_pkl):
+    from eeg_gnn_tpu.constants import get_swap_pairs
+    from eeg_gnn_tpu.graphs import load_distance_adjacency, swap_adjacency_nodes
+
+    scaler = StandardScaler(mean=np.float64(0.0), std=np.float64(1.0))
+    pipe = make_device_pipeline(
+        graph_type="combined", filter_type="laplacian", top_k=None,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=True,
+        adj_mat_dir=dist_pkl)
+
+    raw = rng.randn(8, 19, 4 * FREQUENCY).astype(np.float32)
+    x, supports = jax.jit(lambda r, k: pipe(r, k, True))(
+        jnp.asarray(raw), jax.random.PRNGKey(7))
+    assert x.shape == (8, 4, 19, 100)
+    assert supports.shape == (1, 8, 19, 19)
+
+    # every sample's support is one of the two precomputed variants
+    adj = load_distance_adjacency(dist_pkl)
+    normal = compute_supports(adj, "laplacian")[0]
+    swapped = compute_supports(
+        swap_adjacency_nodes(adj, get_swap_pairs()), "laplacian")[0]
+    n_swapped = 0
+    for b in range(8):
+        s = np.asarray(supports[0, b])
+        if np.allclose(s, swapped, atol=1e-5):
+            n_swapped += 1
+        else:
+            np.testing.assert_allclose(s, normal, atol=1e-5)
+    assert 0 < n_swapped < 8  # both branches exercised w.h.p.
+
+    # reflected samples' features are the node-permuted features (up to the
+    # random scale shift, which is constant per sample under FFT)
+    perm = reflection_permutation(19)
+    feats = np.stack([
+        featurize_clip_np(raw[b].astype(np.float64), 1, FREQUENCY, True)
+        for b in range(8)
+    ])
+    for b in range(8):
+        s = np.asarray(supports[0, b])
+        base = feats[b][:, perm, :] if np.allclose(s, swapped, atol=1e-5) \
+            else feats[b]
+        shift = np.asarray(x[b]) - base
+        assert np.std(shift) < 1e-3  # constant log-scale shift
+        assert np.abs(shift.mean()) <= abs(np.log(1.2)) + 1e-3
+
+
+def test_pipeline_trains_end_to_end(rng):
+    """Raw batch -> pipeline -> DCRNN train step, grads finite."""
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
+
+    cfg = ExperimentConfig(do_train=True, graph_type="individual",
+                           num_rnn_layers=1, rnn_units=8, input_dim=100,
+                           max_diffusion_step=1, use_fft=True).finalize()
+    scaler = StandardScaler(mean=np.float64(0.0), std=np.float64(1.0))
+    pipe = make_device_pipeline(
+        graph_type="individual", filter_type=cfg.filter_type, top_k=3,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=True)
+    bundle = build_model(cfg)
+    params, mstate = bundle.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, 0.0, 5.0, 10, 10)
+    ostate = opt.init(params)
+    step = make_train_step(supervised_loss_fn(bundle, "detection", pipe), opt,
+                           donate=False)
+    batch = {
+        "raw": jnp.asarray(rng.randn(4, 19, 2 * FREQUENCY).astype(np.float32)),
+        "y": jnp.asarray(rng.randint(0, 2, 4).astype(np.float32)),
+        "seq_lengths": jnp.full((4,), 2, jnp.int32),
+        "supports": None,
+    }
+    params, mstate, ostate, loss = step(params, mstate, ostate, batch,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

@@ -78,3 +78,10 @@ def test_classification_densecnn(corpus):
     res = _run(corpus, ["--model_name", "densecnn", "--num_classes", "4",
                         "--metric_name", "F1"], task="classification")
     assert np.isfinite(res["loss"])
+
+
+def test_detection_device_pipeline(corpus):
+    """Fused on-device input pipeline through the CLI (raw clips in)."""
+    res = _run(corpus, ["--graph_type", "individual", "--top_k", "3",
+                        "--device_pipeline", "--data_augment"])
+    assert np.isfinite(res["loss"]) and "auroc" in res

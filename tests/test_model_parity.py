@@ -224,3 +224,26 @@ def test_decoder_weight_tying_gradient_semantics():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["decoder"]["shared"]["gate_w"]).sum()) > 0.0
+
+
+def test_bfloat16_compute_path_close_to_f32(rng):
+    """compute_dtype='bfloat16' routes the hoisted GEMM through the MXU
+    bf16 path; logits stay within bf16 tolerance of the f32 path."""
+    import jax
+    import numpy as np
+
+    from eeg_gnn_tpu.models import DCRNNConfig, classification_apply
+    from eeg_gnn_tpu.models.dcrnn import init_classification_model
+
+    cfg32 = DCRNNConfig(num_rnn_layers=1, rnn_units=16, input_dim=20,
+                        max_diffusion_step=1)
+    cfg16 = DCRNNConfig(num_rnn_layers=1, rnn_units=16, input_dim=20,
+                        max_diffusion_step=1, compute_dtype="bfloat16")
+    params = init_classification_model(jax.random.PRNGKey(0), cfg32)
+    x = rng.randn(4, 6, 19, 20).astype(np.float32)
+    lengths = np.full((4,), 6, np.int64)
+    sup = _batched_supports(4, "laplacian", rng)
+    o32 = np.asarray(classification_apply(cfg32, params, x, lengths, sup))
+    o16 = np.asarray(classification_apply(cfg16, params, x, lengths, sup))
+    np.testing.assert_allclose(o16, o32, rtol=0.05, atol=0.05)
+    assert not np.array_equal(o16, o32)  # path actually differs
