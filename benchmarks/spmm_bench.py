@@ -14,6 +14,12 @@ import time
 
 import numpy as np
 
+import sys
+
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _root not in sys.path:
+    sys.path.insert(0, _root)
+
 
 def _sync(out):
     # real D2H transfer: under the axon TPU tunnel block_until_ready

@@ -19,10 +19,10 @@ def corpus(tmp_path_factory):
                                  clip_len=12, seed=0), root
 
 
-def _run(corpus, extra, task="detection"):
+def _run(corpus, extra, task="detection", train=True):
     paths, root = corpus
     args = [
-        "--task", task, "--do_train", "--max_seq_len", "12", "--use_fft",
+        "--task", task, "--max_seq_len", "12", "--use_fft",
         "--num_rnn_layers", "1", "--rnn_units", "16",
         "--max_diffusion_step", "1", "--train_batch_size", "4",
         "--test_batch_size", "8", "--num_epochs", "1", "--num_workers", "1",
@@ -31,7 +31,7 @@ def _run(corpus, extra, task="detection"):
         "--marker_dir", paths["marker_dir"],
         "--adj_mat_dir", paths["adj_mat_dir"],
         "--save_dir", os.path.join(root, "save"),
-    ] + extra
+    ] + (["--do_train"] if train else []) + extra
     return train_main(args)
 
 
@@ -85,3 +85,39 @@ def test_detection_device_pipeline(corpus):
     res = _run(corpus, ["--graph_type", "individual", "--top_k", "3",
                         "--device_pipeline", "--data_augment"])
     assert np.isfinite(res["loss"]) and "auroc" in res
+
+
+def test_detection_cnnlstm(corpus):
+    res = _run(corpus, ["--graph_type", "combined", "--model_name", "cnnlstm"])
+    assert np.isfinite(res["loss"])
+
+
+def test_finetune_from_reference_torch_checkpoint(corpus):
+    """--fine_tune with a shipped reference .pth.tar transplants the SSL
+    encoder diffusion weights directly (train.py:133-151 parity)."""
+    ckpt = "/root/reference/pretrained/pretrained_distance_graph_12s.pth.tar"
+    if not os.path.exists(ckpt):
+        pytest.skip("no reference mount")
+    res = _run(corpus, ["--graph_type", "combined", "--fine_tune",
+                        "--load_model_path", ckpt,
+                        "--pretrained_num_rnn_layers", "3",
+                        "--num_rnn_layers", "2", "--rnn_units", "64",
+                        "--max_diffusion_step", "2"])
+    assert np.isfinite(res["loss"])
+
+
+def test_eval_only_with_npz_checkpoint(corpus):
+    """Eval-only mode (no --do_train) warm-starts from an .npz checkpoint
+    and writes test-NN run dirs (reference train.py:166-194, utils.py:61-80)."""
+    paths, root = corpus
+    _run(corpus, ["--graph_type", "combined"])  # produce a checkpoint
+    save_root = os.path.join(root, "save", "train")
+    runs = sorted(os.listdir(save_root))
+    best = os.path.join(save_root, runs[-1], "best.npz")
+    assert os.path.exists(best)
+
+    res = _run(corpus, ["--graph_type", "combined",
+                        "--load_model_path", best], train=False)
+    # eval-only still produced metrics and a test-NN dir
+    assert np.isfinite(res["loss"])
+    assert os.path.isdir(os.path.join(root, "save", "test", "test-01"))
