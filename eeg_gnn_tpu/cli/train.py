@@ -64,7 +64,8 @@ def main(argv=None):
         preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
     )
     use_device_pipeline = (
-        cfg.device_pipeline and cfg.task == "detection"
+        cfg.device_pipeline
+        and cfg.task in ("detection", "SS pre-training")
         and cfg.model_name == "dcrnn"
     )
     input_pipeline = None
@@ -101,7 +102,17 @@ def main(argv=None):
                 max_seq_len=cfg.max_seq_len, padding_val=0.0, **common)
     else:  # SS pre-training
         loaders, _, scaler = load_dataset_ssl(
-            input_len=cfg.max_seq_len, output_len=cfg.output_seq_len, **common)
+            input_len=cfg.max_seq_len, output_len=cfg.output_seq_len,
+            raw_mode=use_device_pipeline, **common)
+        if use_device_pipeline:
+            from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+
+            input_pipeline = make_device_pipeline(
+                graph_type=cfg.graph_type, filter_type=cfg.filter_type,
+                top_k=cfg.top_k, use_fft=cfg.use_fft,
+                time_step_size=cfg.time_step_size, scaler=scaler,
+                augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
+                num_nodes=cfg.num_nodes)
 
     # DP mesh: the data axis must divide both batch sizes (batches are
     # padded to those fixed shapes). Shrink to the gcd; 1 device -> no mesh.

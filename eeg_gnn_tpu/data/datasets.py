@@ -378,6 +378,30 @@ class DenseCNNClassificationDataset(_BaseEEGDataset):
         )
 
 
+class RawSSLDataset(SSLDataset):
+    """SSL clip pairs in RAW form for the fused on-device pipeline (x = full
+    input clip, y = first output_len seconds of the next clip)."""
+
+    def __getitem__(self, idx):
+        from eeg_gnn_tpu.constants import FREQUENCY
+
+        h5_fn_x, h5_fn_y = self.file_tuples[idx]
+        clip_idx_x = int(h5_fn_x.split("_")[-1].split(".h5")[0])
+        clip_idx_y = int(h5_fn_y.split("_")[-1].split(".h5")[0])
+        h5_path = os.path.join(self.input_dir, h5_fn_x.split(".edf")[0] + ".h5")
+        raw_x = clip_ops.slice_raw_clip(h5_path, clip_idx_x, self.input_len)
+        raw_y_full = clip_ops.slice_raw_clip(h5_path, clip_idx_y, self.input_len)
+        raw_y = raw_y_full[:, : self.output_len * FREQUENCY]
+        return (
+            raw_x.astype(np.float32),
+            raw_y.astype(np.float32),
+            np.int32(self.input_len),
+            [],
+            [],
+            h5_fn_x.split(".h5")[0],
+        )
+
+
 # ---------------------------------------------------------------------------
 # Loader factories (reference load_dataset_* parity)
 # ---------------------------------------------------------------------------
@@ -510,7 +534,7 @@ def load_dataset_ssl(input_dir, raw_data_dir, train_batch_size,
                      output_len=12, standardize=True, num_workers=8,
                      augmentation=False, adj_mat_dir=None, graph_type=None,
                      top_k=None, filter_type="laplacian", use_fft=False,
-                     preproc_dir=None, marker_dir=None):
+                     preproc_dir=None, marker_dir=None, raw_mode=False):
     """Parity: ``load_dataset_ssl`` (dataloader_ssl.py:364-461)."""
     if graph_type is not None and graph_type not in ["individual", "combined"]:
         raise NotImplementedError
@@ -518,9 +542,10 @@ def load_dataset_ssl(input_dir, raw_data_dir, train_batch_size,
         _load_scaler(marker_dir, "seq2seq_fft_", input_len, "_single")
         if standardize else None
     )
+    cls = RawSSLDataset if raw_mode else SSLDataset
 
     def make(split):
-        return SSLDataset(
+        return cls(
             marker_dir=marker_dir, input_len=input_len, output_len=output_len,
             input_dir=input_dir, raw_data_dir=raw_data_dir,
             time_step_size=time_step_size, max_seq_len=input_len,

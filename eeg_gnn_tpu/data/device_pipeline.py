@@ -101,6 +101,52 @@ class DevicePipeline:
             )  # (S, B, N, N)
         return x, supports
 
+    def ssl(self, raw_x, raw_y, rng, training: bool):
+        """SSL pair featurization: (raw_x (B,C,Lx), raw_y (B,C,Ly)) ->
+        (x, y, supports).
+
+        Parity with the host SSL path (dataloader_ssl.py:315-349): the
+        SAME reflect decision and scale factor apply to x and y; the graph
+        comes from the un-augmented x features.
+        """
+        from eeg_gnn_tpu.ops.fft_features import featurize_clip
+
+        fx = featurize_clip(raw_x, self.time_step_size, FREQUENCY, self.use_fft)
+        fy = featurize_clip(raw_y, self.time_step_size, FREQUENCY, self.use_fft)
+        b = fx.shape[0]
+
+        do_aug = self.augment and training
+        if do_aug:
+            k_ref, k_scale = jax.random.split(rng)
+            reflect = jax.random.bernoulli(k_ref, 0.5, (b,))
+            scale = jax.random.uniform(k_scale, (b,), minval=0.8, maxval=1.2)
+
+            def aug(f):
+                refl = f[:, :, self.node_perm, :]
+                out = jnp.where(reflect[:, None, None, None], refl, f)
+                if self.use_fft:
+                    return out + jnp.log(scale)[:, None, None, None]
+                return out * scale[:, None, None, None]
+
+            ax, ay = aug(fx), aug(fy)
+        else:
+            reflect = jnp.zeros((b,), bool)
+            ax, ay = fx, fy
+
+        x = (ax - self.mean) / self.std
+        y = (ay - self.mean) / self.std
+
+        if self.graph_type == "individual":
+            adj = correlation_adjacency_jnp(fx, top_k=self.top_k)
+            supports = compute_supports_jnp(adj, self.filter_type)
+        else:
+            supports = jnp.where(
+                reflect[None, :, None, None],
+                self.dist_supports_swapped[:, None],
+                self.dist_supports[:, None],
+            )
+        return x, y, supports
+
 
 def make_device_pipeline(*, graph_type: str, filter_type: str,
                          top_k: Optional[int], use_fft: bool,

@@ -53,13 +53,19 @@ def supervised_loss_fn(bundle, task: str, input_pipeline=None):
     return loss_fn
 
 
-def ssl_loss_fn(model_cfg, mean, std, loss_name_train: str = "MAE"):
+def ssl_loss_fn(model_cfg, mean, std, loss_name_train: str = "MAE",
+                input_pipeline=None):
     """Masked regression loss on inverse-standardized next-window preds
     (reference train_ssl.py:163-170). ``loss_name_train`` defaults to the
     reference's literal 'MAE' string (which dispatches to the MSE branch —
     documented quirk in train/losses.py)."""
 
     def loss_fn(params, model_state, batch, rng, training, batches_seen=None):
+        if input_pipeline is not None and batch.get("raw") is not None:
+            rng, k_pipe = jax.random.split(rng)
+            x, y, supports = input_pipeline.ssl(
+                batch["raw"], batch["raw_y"], k_pipe, training)
+            batch = {**batch, "x": x, "y": y, "supports": supports}
         preds = next_time_pred_apply(
             model_cfg, params, batch["x"], batch["y"], batch["supports"],
             batches_seen=batches_seen, training=training, rng=rng,

@@ -88,7 +88,8 @@ class Trainer:
         if self.is_ssl:
             mean = None if scaler is None else jnp.float32(scaler.mean)
             std = None if scaler is None else jnp.float32(scaler.std)
-            self.loss_fn = ssl_loss_fn(cfg.dcrnn_config(), mean, std)
+            self.loss_fn = ssl_loss_fn(cfg.dcrnn_config(), mean, std,
+                                       input_pipeline=input_pipeline)
             self.train_step = make_train_step(self.loss_fn, self.optimizer,
                                               has_batches_seen=True)
         else:
@@ -105,10 +106,14 @@ class Trainer:
         if self.input_pipeline is not None:
             d = {
                 "raw": jnp.asarray(batch.x),  # (B, C, L) raw clips
-                "y": jnp.asarray(batch.y),
                 "seq_lengths": jnp.asarray(batch.seq_lengths),
                 "supports": None,
             }
+            if self.is_ssl:
+                d["raw_y"] = jnp.asarray(batch.y)  # (B, C, L_out) raw next
+                d["y"] = None  # produced on device by the pipeline
+            else:
+                d["y"] = jnp.asarray(batch.y)
         else:
             d = {
                 "x": jnp.asarray(batch.x),

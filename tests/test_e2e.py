@@ -121,3 +121,12 @@ def test_eval_only_with_npz_checkpoint(corpus):
     # eval-only still produced metrics and a test-NN dir
     assert np.isfinite(res["loss"])
     assert os.path.isdir(os.path.join(root, "save", "test", "test-01"))
+
+
+def test_ssl_device_pipeline(corpus):
+    """SSL through the fused on-device pipeline (raw clip pairs in)."""
+    res = _run(corpus, ["--graph_type", "individual", "--top_k", "3",
+                        "--device_pipeline", "--data_augment",
+                        "--output_seq_len", "12", "--metric_name", "loss"],
+               task="SS pre-training")
+    assert np.isfinite(res["loss"])
