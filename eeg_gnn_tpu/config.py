@@ -70,6 +70,8 @@ class ExperimentConfig:
     device_pipeline: bool = False  # fused on-device input pipeline (raw clips in)
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
+    fused_steps: int = 1  # optimizer steps fused into one XLA program
+    recurrence: str = "stacked"  # DCGRU scan backend: stacked | naive
 
     # Derived
     maximize_metric: bool = True
@@ -119,6 +121,7 @@ class ExperimentConfig:
             use_pallas=self.use_pallas,
             scan_unroll=self.scan_unroll,
             compute_dtype=self.dtype,
+            recurrence=self.recurrence,
         )
 
     def to_json(self) -> str:
@@ -191,6 +194,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "Fused on-device input pipeline (featurize+graphs in-step).")
     _add_bool_flag(p, "use_pallas", "Use Pallas diffusion kernels.")
     p.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
+    p.add_argument("--fused_steps", type=int, default=d.fused_steps,
+                   help="Optimizer steps scanned inside one XLA program "
+                        "(amortizes per-step dispatch latency).")
+    p.add_argument("--recurrence", type=str, default=d.recurrence,
+                   choices=("stacked", "naive"),
+                   help="DCGRU scan backend: precomputed Chebyshev operator "
+                        "stack with hand-written BPTT, or the naive "
+                        "per-step diffusion with XLA auto-adjoint.")
     return p
 
 

@@ -51,6 +51,9 @@ class DCGRUConfig:
     scan_unroll: int = 1      # lax.scan unroll factor (amortizes loop overhead)
     compute_dtype: str = "float32"  # 'bfloat16' runs the hoisted GEMMs on
     # the MXU in bf16 with f32 accumulation (params/state stay f32)
+    recurrence: str = "stacked"  # 'naive': per-step chebyshev_diffusion with
+    # XLA auto-adjoint; 'stacked': precomputed Chebyshev operator stack with
+    # hand-written BPTT (ops/recurrent.py) — fewer/larger ops per scan step
 
     @property
     def num_matrices(self) -> int:
@@ -160,6 +163,25 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         x_proj = jnp.matmul(x_feat, wx)
     gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
 
+    if cfg.recurrence == "stacked" and not cfg.use_pallas:
+        from eeg_gnn_tpu.ops.recurrent import (
+            chebyshev_operators,
+            dcgru_layer_recurrence,
+            rearrange_hidden_weight,
+        )
+
+        m = cfg.num_matrices
+        a_ops = chebyshev_operators(supports, k)
+        if a_ops.ndim == 3:  # shared (N, N) graph: broadcast batch dim
+            a_ops = a_ops[:, None]
+        a_ops = jax.lax.stop_gradient(a_ops)
+        h_last, h_seq = dcgru_layer_recurrence(
+            a_ops, gate_x.astype(jnp.float32), cand_x.astype(jnp.float32),
+            rearrange_hidden_weight(wh_gate, h_units, m),
+            rearrange_hidden_weight(wh_cand, h_units, m),
+            params["gate_b"], params["cand_b"], h0, cfg.activation)
+        return h_last, h_seq
+
     if cfg.use_pallas and supports.ndim == 4:
         # Fused Pallas path: diffusion + GEMM in one VMEM-resident kernel.
         from eeg_gnn_tpu.ops.pallas_kernels import (
@@ -208,12 +230,12 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
                     use_pallas=False, scan_unroll=1,
-                    compute_dtype="float32"):
+                    compute_dtype="float32", recurrence="stacked"):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
                                num_supports, activation, use_pallas,
-                               scan_unroll, compute_dtype)
+                               scan_unroll, compute_dtype, recurrence)
     return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
 
 

@@ -108,6 +108,63 @@ def make_train_step(loss_fn, optimizer, *, has_batches_seen: bool = False,
     return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
 
+def make_multi_train_step(loss_fn, optimizer, *, has_batches_seen: bool = False,
+                          donate: bool = True):
+    """Fused K-step trainer: ``lax.scan`` over K minibatches inside ONE
+    compiled program.
+
+    Dispatch latency (host->device program launch, ~6 ms/step under a remote
+    TPU runtime) dominates small-batch step time for this model family
+    (~0.4 M params); scanning K steps amortizes it K-fold. No reference
+    counterpart (the reference dispatches per batch); numerics are identical
+    to K sequential ``make_train_step`` calls.
+
+    Batches must be stacked with a leading K axis on every leaf; ``rngs`` is
+    a (K, 2) key array; with ``has_batches_seen``, pass a (K,) int32 vector
+    of per-step sample counters.
+
+    Returns (params, model_state, opt_state, losses[K]).
+    """
+
+    def _one(params, model_state, opt_state, batch, rng, extra):
+        def wrapped(p):
+            if has_batches_seen:
+                return loss_fn(p, model_state, batch, rng, True, extra)
+            return loss_fn(p, model_state, batch, rng, True)
+
+        (loss, (_, new_state)), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    if has_batches_seen:
+        def step(params, model_state, opt_state, batches, rngs, batches_seen):
+            def body(carry, inp):
+                p, ms, os_ = carry
+                batch, rng, bs = inp
+                p, ms, os_, loss = _one(p, ms, os_, batch, rng, bs)
+                return (p, ms, os_), loss
+
+            (params, model_state, opt_state), losses = jax.lax.scan(
+                body, (params, model_state, opt_state),
+                (batches, rngs, batches_seen))
+            return params, model_state, opt_state, losses
+    else:
+        def step(params, model_state, opt_state, batches, rngs):
+            def body(carry, inp):
+                p, ms, os_ = carry
+                batch, rng = inp
+                p, ms, os_, loss = _one(p, ms, os_, batch, rng, None)
+                return (p, ms, os_), loss
+
+            (params, model_state, opt_state), losses = jax.lax.scan(
+                body, (params, model_state, opt_state), (batches, rngs))
+            return params, model_state, opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+
 def make_eval_step(loss_fn):
     """Jitted eval step: (params, model_state, batch) -> (loss, outputs)."""
 

@@ -99,34 +99,70 @@ class Trainer:
             self.train_step = make_train_step(self.loss_fn, self.optimizer)
         self.eval_step = make_eval_step(self.loss_fn)
 
+        self.fused_steps = max(1, getattr(cfg, "fused_steps", 1))
+        if self.fused_steps > 1:
+            from eeg_gnn_tpu.train.step import make_multi_train_step
+
+            self.multi_train_step = make_multi_train_step(
+                self.loss_fn, self.optimizer,
+                has_batches_seen=self.is_ssl)
+
     # -- batch placement ---------------------------------------------------
 
-    def _device_batch(self, batch, batch_size: int):
+    def _host_batch(self, batch, batch_size: int):
+        """Pad to fixed size and lay out as a dict of host numpy arrays."""
         batch, valid = _pad_batch(batch, batch_size)
         if self.input_pipeline is not None:
             d = {
-                "raw": jnp.asarray(batch.x),  # (B, C, L) raw clips
-                "seq_lengths": jnp.asarray(batch.seq_lengths),
+                "raw": np.asarray(batch.x),  # (B, C, L) raw clips
+                "seq_lengths": np.asarray(batch.seq_lengths),
                 "supports": None,
             }
             if self.is_ssl:
-                d["raw_y"] = jnp.asarray(batch.y)  # (B, C, L_out) raw next
+                d["raw_y"] = np.asarray(batch.y)  # (B, C, L_out) raw next
                 d["y"] = None  # produced on device by the pipeline
             else:
-                d["y"] = jnp.asarray(batch.y)
+                d["y"] = np.asarray(batch.y)
         else:
             d = {
-                "x": jnp.asarray(batch.x),
-                "y": jnp.asarray(batch.y),
-                "seq_lengths": jnp.asarray(batch.seq_lengths),
+                "x": np.asarray(batch.x),
+                "y": np.asarray(batch.y),
+                "seq_lengths": np.asarray(batch.seq_lengths),
                 "supports": None if batch.supports is None
-                else jnp.asarray(batch.supports),
+                else np.asarray(batch.supports),
             }
+        return d, valid, batch.names
+
+    def _device_batch(self, batch, batch_size: int):
+        d, valid, names = self._host_batch(batch, batch_size)
+        d = {k: None if v is None else jnp.asarray(v) for k, v in d.items()}
         if self.mesh is not None:
             from eeg_gnn_tpu.train.step import shard_batch
 
             d = shard_batch(d, self.mesh)
-        return d, valid, batch.names
+        return d, valid, names
+
+    def _stacked_device_batches(self, batches, batch_size: int):
+        """Stack K host batches with a leading K axis (single H2D transfer)
+        for the fused multi-step program; returns (dict, true sizes)."""
+        host, sizes = [], []
+        for b in batches:
+            d, valid, _ = self._host_batch(b, batch_size)
+            host.append(d)
+            sizes.append(valid)
+        stacked = {
+            k: None if host[0][k] is None
+            else jnp.asarray(np.stack([h[k] for h in host]))
+            for k in host[0]
+        }
+        if self.mesh is not None:
+            from eeg_gnn_tpu.train.step import shard_batch
+
+            # leading axis is the scan (step) axis; batch dims shift by one
+            stacked = shard_batch(
+                stacked, self.mesh,
+                batch_axes={k: (2 if k == "supports" else 1) for k in stacked})
+        return stacked, sizes
 
     # -- training ----------------------------------------------------------
 
@@ -142,22 +178,59 @@ class Trainer:
         patience_count = 0
         early_stop = False
         epoch = 0
+        def run_one(params, model_state, opt_state, batch, step):
+            dbatch, _, _ = self._device_batch(batch, cfg.train_batch_size)
+            nonlocal rng
+            rng, sub = jax.random.split(rng)
+            if self.is_ssl:
+                params, model_state, opt_state, loss = self.train_step(
+                    params, model_state, opt_state, dbatch, sub,
+                    jnp.int32(step))
+            else:
+                params, model_state, opt_state, loss = self.train_step(
+                    params, model_state, opt_state, dbatch, sub)
+            step += len(batch)
+            self.tbx.add_scalar("train/Loss", float(loss), step)
+            return params, model_state, opt_state, step
+
+        def run_fused(params, model_state, opt_state, batches, step):
+            dbatches, sizes = self._stacked_device_batches(
+                batches, cfg.train_batch_size)
+            nonlocal rng
+            rng, *subs = jax.random.split(rng, len(batches) + 1)
+            subs = jnp.stack(subs)
+            if self.is_ssl:
+                seen = step + np.concatenate([[0], np.cumsum(sizes[:-1])])
+                params, model_state, opt_state, losses = self.multi_train_step(
+                    params, model_state, opt_state, dbatches, subs,
+                    jnp.asarray(seen, jnp.int32))
+            else:
+                params, model_state, opt_state, losses = self.multi_train_step(
+                    params, model_state, opt_state, dbatches, subs)
+            losses = np.asarray(losses)
+            for bsz, loss in zip(sizes, losses):
+                step += bsz
+                self.tbx.add_scalar("train/Loss", float(loss), step)
+            return params, model_state, opt_state, step
+
         while epoch != cfg.num_epochs and not early_stop:
             epoch += 1
             self.log.info(f"Starting epoch {epoch}...")
+            pending = []
             for batch in self.loaders["train"]:
-                bsz = len(batch)
-                dbatch, _, _ = self._device_batch(batch, cfg.train_batch_size)
-                rng, sub = jax.random.split(rng)
-                if self.is_ssl:
-                    params, model_state, opt_state, loss = self.train_step(
-                        params, model_state, opt_state, dbatch, sub,
-                        jnp.int32(step))
+                if self.fused_steps > 1:
+                    pending.append(batch)
+                    if len(pending) == self.fused_steps:
+                        params, model_state, opt_state, step = run_fused(
+                            params, model_state, opt_state, pending, step)
+                        pending = []
                 else:
-                    params, model_state, opt_state, loss = self.train_step(
-                        params, model_state, opt_state, dbatch, sub)
-                step += bsz
-                self.tbx.add_scalar("train/Loss", float(loss), step)
+                    params, model_state, opt_state, step = run_one(
+                        params, model_state, opt_state, batch, step)
+            # epoch remainder smaller than fused_steps: single-step program
+            for batch in pending:
+                params, model_state, opt_state, step = run_one(
+                    params, model_state, opt_state, batch, step)
 
             if epoch % cfg.eval_every == 0:
                 eval_results = self.evaluate(params, model_state, "dev")

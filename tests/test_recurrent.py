@@ -1,0 +1,91 @@
+"""Equivalence of the operator-stacked DCGRU recurrence (hand-written BPTT,
+ops/recurrent.py) with the naive per-step path (XLA auto-adjoint)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eeg_gnn_tpu.models.dcgru import encoder_apply, encoder_configs, encoder_init
+
+
+def _setup(rng, num_supports, batched, activation="tanh", t=7, b=4, n=19,
+           din=12, h=16, k=2, layers=2):
+    cfgs = encoder_configs(din, h, k, n, num_supports, layers,
+                           activation=activation, recurrence="naive")
+    params = encoder_init(jax.random.PRNGKey(0), cfgs)
+    x_seq = jnp.asarray(rng.randn(t, b, n, din), jnp.float32)
+    shape = (num_supports, b, n, n) if batched else (num_supports, n, n)
+    supports = jnp.asarray(np.abs(rng.randn(*shape)) / n, jnp.float32)
+    return cfgs, params, supports, x_seq
+
+
+def _with_recurrence(cfgs, name):
+    return [dataclasses.replace(c, recurrence=name) for c in cfgs]
+
+
+@pytest.mark.parametrize("num_supports,batched,activation", [
+    (1, True, "tanh"),
+    (2, True, "tanh"),
+    (1, False, "tanh"),
+    (2, True, "relu"),
+])
+def test_stacked_matches_naive_forward(rng, num_supports, batched, activation):
+    cfgs, params, supports, x_seq = _setup(rng, num_supports, batched,
+                                           activation)
+    stack_n, seq_n = encoder_apply(cfgs, params, supports, x_seq)
+    stack_s, seq_s = encoder_apply(_with_recurrence(cfgs, "stacked"), params,
+                                   supports, x_seq)
+    np.testing.assert_allclose(np.asarray(stack_s), np.asarray(stack_n),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(seq_s), np.asarray(seq_n),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("num_supports,batched", [(1, True), (2, True)])
+def test_stacked_matches_naive_gradients(rng, num_supports, batched):
+    cfgs, params, supports, x_seq = _setup(rng, num_supports, batched)
+    # weight the loss over both encoder outputs so every grad path is hit
+    w_stack = jnp.asarray(rng.randn(len(cfgs), *x_seq.shape[1:3],
+                                    cfgs[0].num_units), jnp.float32)
+    w_seq = jnp.asarray(rng.randn(*x_seq.shape[:3], cfgs[0].num_units),
+                        jnp.float32)
+
+    def loss(params, cfgs, x):
+        stack, seq = encoder_apply(cfgs, params, supports, x)
+        return jnp.sum(stack * w_stack) + jnp.sum(seq * w_seq)
+
+    ln, gn = jax.value_and_grad(
+        lambda p: loss(p, cfgs, x_seq))(params)
+    gxn = jax.grad(lambda x: loss(params, cfgs, x))(x_seq)
+
+    cfgs_s = _with_recurrence(cfgs, "stacked")
+    ls, gs = jax.value_and_grad(
+        lambda p: loss(p, cfgs_s, x_seq))(params)
+    gxs = jax.grad(lambda x: loss(params, cfgs_s, x))(x_seq)
+
+    np.testing.assert_allclose(float(ls), float(ln), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gxs), np.asarray(gxn),
+                               rtol=5e-3, atol=2e-3)
+
+
+def test_chebyshev_operators_match_diffusion(rng):
+    """A_m @ x must equal the term-by-term chebyshev_diffusion features."""
+    from eeg_gnn_tpu.ops.diffusion import chebyshev_diffusion
+    from eeg_gnn_tpu.ops.recurrent import chebyshev_operators
+
+    s, b, n, d, k = 2, 3, 19, 8, 2
+    supports = jnp.asarray(np.abs(rng.randn(s, b, n, n)) / n, jnp.float32)
+    x = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+
+    feats = chebyshev_diffusion(supports, x, k)  # (B, N, D, M)
+    a_ops = chebyshev_operators(supports, k)  # (M, B, N, N)
+    via_ops = jnp.einsum("mbij,bjd->bidm", a_ops, x)
+    np.testing.assert_allclose(np.asarray(via_ops), np.asarray(feats),
+                               rtol=1e-5, atol=1e-6)

@@ -190,3 +190,84 @@ def test_eval_dict_matches_reference(rng):
     theirs, _, _ = ref.eval_dict(y_pred, y_true, y_prob, average="binary")
     for k in theirs:
         assert ours[k] == pytest.approx(theirs[k]), k
+
+
+def test_fused_multi_step_matches_sequential():
+    """make_multi_train_step(K) must be numerically identical to K
+    sequential make_train_step calls (same rng keys, same batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.graphs import compute_supports_jnp
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import (
+        make_multi_train_step,
+        make_train_step,
+        supervised_loss_fn,
+    )
+
+    K, B, T = 3, 4, 5
+    cfg = ExperimentConfig(do_train=True, graph_type="combined",
+                           num_rnn_layers=1, rnn_units=16, input_dim=8,
+                           max_diffusion_step=1).finalize()
+    bundle = build_model(cfg)
+    params, model_state = bundle.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(1e-3, 5e-4, 5.0, 10, 10)
+
+    rs = np.random.RandomState(0)
+    xs = jnp.asarray(rs.randn(K, B, T, 19, 8), jnp.float32)
+    ys = jnp.asarray(rs.randint(0, 2, size=(K, B)), jnp.float32)
+    lens = jnp.full((K, B), T, jnp.int32)
+    adj = jnp.asarray(np.abs(rs.randn(K, B, 19, 19)), jnp.float32)
+    sups = jax.vmap(lambda a: compute_supports_jnp(a, "laplacian"))(adj)
+    rngs = jax.random.split(jax.random.PRNGKey(7), K)
+
+    loss_fn = supervised_loss_fn(bundle, "detection")
+
+    # sequential
+    p_seq, ms_seq = params, model_state
+    opt_seq = optimizer.init(p_seq)
+    step1 = make_train_step(loss_fn, optimizer, donate=False)
+    seq_losses = []
+    for i in range(K):
+        batch = {"x": xs[i], "y": ys[i], "seq_lengths": lens[i],
+                 "supports": sups[i]}
+        p_seq, ms_seq, opt_seq, loss = step1(p_seq, ms_seq, opt_seq, batch,
+                                             rngs[i])
+        seq_losses.append(float(loss))
+
+    # fused
+    opt_f = optimizer.init(params)
+    stepK = make_multi_train_step(loss_fn, optimizer, donate=False)
+    batches = {"x": xs, "y": ys, "seq_lengths": lens, "supports": sups}
+    p_f, ms_f, opt_f, losses = stepK(params, model_state, opt_f, batches, rngs)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_trainer_fused_steps_e2e(tmp_path):
+    """Trainer with --fused_steps drives the fused program end-to-end
+    (including the epoch-remainder single-step fallback)."""
+    import os
+
+    from eeg_gnn_tpu.cli.train import main
+    from eeg_gnn_tpu.data.synthetic import make_synthetic_corpus
+
+    root = str(tmp_path)
+    p = make_synthetic_corpus(root, num_files=4, file_seconds=60, clip_len=12)
+    res = main([
+        "--task", "detection", "--do_train", "--graph_type", "combined",
+        "--max_seq_len", "12", "--use_fft", "--num_rnn_layers", "1",
+        "--rnn_units", "16", "--max_diffusion_step", "1",
+        "--train_batch_size", "4", "--test_batch_size", "8",
+        "--num_epochs", "1", "--num_workers", "0", "--fused_steps", "2",
+        "--input_dir", p["input_dir"], "--raw_data_dir", p["raw_data_dir"],
+        "--marker_dir", p["marker_dir"], "--adj_mat_dir", p["adj_mat_dir"],
+        "--save_dir", os.path.join(root, "save"),
+    ])
+    assert np.isfinite(res["loss"])
