@@ -71,7 +71,7 @@ class ExperimentConfig:
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
-    recurrence: str = "stacked"  # DCGRU scan backend: stacked | naive
+    recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
 
     # Derived
     maximize_metric: bool = True
@@ -198,10 +198,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Optimizer steps scanned inside one XLA program "
                         "(amortizes per-step dispatch latency).")
     p.add_argument("--recurrence", type=str, default=d.recurrence,
-                   choices=("stacked", "naive"),
+                   choices=("stacked", "naive", "pallas"),
                    help="DCGRU scan backend: precomputed Chebyshev operator "
-                        "stack with hand-written BPTT, or the naive "
-                        "per-step diffusion with XLA auto-adjoint.")
+                        "stack with hand-written BPTT; the naive per-step "
+                        "diffusion with XLA auto-adjoint; or whole-sequence "
+                        "Pallas kernels (TPU; falls back to stacked "
+                        "elsewhere).")
     return p
 
 

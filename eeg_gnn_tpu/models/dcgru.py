@@ -51,9 +51,11 @@ class DCGRUConfig:
     scan_unroll: int = 1      # lax.scan unroll factor (amortizes loop overhead)
     compute_dtype: str = "float32"  # 'bfloat16' runs the hoisted GEMMs on
     # the MXU in bf16 with f32 accumulation (params/state stay f32)
-    recurrence: str = "stacked"  # 'naive': per-step chebyshev_diffusion with
+    recurrence: str = "pallas"  # 'naive': per-step chebyshev_diffusion with
     # XLA auto-adjoint; 'stacked': precomputed Chebyshev operator stack with
-    # hand-written BPTT (ops/recurrent.py) — fewer/larger ops per scan step
+    # hand-written BPTT (ops/recurrent.py) — fewer/larger ops per scan step;
+    # 'pallas': whole-sequence Mosaic kernels (ops/pallas_recurrent.py),
+    # TPU only — silently falls back to 'stacked' on other backends
 
     @property
     def num_matrices(self) -> int:
@@ -163,7 +165,11 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         x_proj = jnp.matmul(x_feat, wx)
     gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
 
-    if cfg.recurrence == "stacked" and not cfg.use_pallas:
+    recurrence = cfg.recurrence
+    if recurrence == "pallas" and jax.default_backend() != "tpu":
+        recurrence = "stacked"  # same math; Mosaic kernels are TPU-only
+
+    if recurrence in ("stacked", "pallas") and not cfg.use_pallas:
         from eeg_gnn_tpu.ops.recurrent import (
             chebyshev_operators,
             dcgru_layer_recurrence,
@@ -175,11 +181,21 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         if a_ops.ndim == 3:  # shared (N, N) graph: broadcast batch dim
             a_ops = a_ops[:, None]
         a_ops = jax.lax.stop_gradient(a_ops)
-        h_last, h_seq = dcgru_layer_recurrence(
+        args = (
             a_ops, gate_x.astype(jnp.float32), cand_x.astype(jnp.float32),
             rearrange_hidden_weight(wh_gate, h_units, m),
             rearrange_hidden_weight(wh_cand, h_units, m),
-            params["gate_b"], params["cand_b"], h0, cfg.activation)
+            params["gate_b"], params["cand_b"], h0,
+        )
+        if recurrence == "pallas":
+            from eeg_gnn_tpu.ops.pallas_recurrent import (
+                dcgru_layer_recurrence_pallas,
+            )
+
+            h_last, h_seq = dcgru_layer_recurrence_pallas(
+                *args, cfg.activation)
+        else:
+            h_last, h_seq = dcgru_layer_recurrence(*args, cfg.activation)
         return h_last, h_seq
 
     if cfg.use_pallas and supports.ndim == 4:
@@ -230,7 +246,7 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
                     use_pallas=False, scan_unroll=1,
-                    compute_dtype="float32", recurrence="stacked"):
+                    compute_dtype="float32", recurrence="pallas"):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,

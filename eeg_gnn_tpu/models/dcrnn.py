@@ -44,7 +44,7 @@ class DCRNNConfig:
     use_pallas: bool = False
     scan_unroll: int = 1
     compute_dtype: str = "float32"
-    recurrence: str = "stacked"
+    recurrence: str = "pallas"
 
     def encoder_cfgs(self):
         return encoder_configs(

@@ -28,16 +28,43 @@ def cosine_annealing_lr(lr_init: float, num_epochs: int, steps_per_epoch: int):
     return schedule
 
 
+def _fuse_flat(inner):
+    """Run a gradient transformation over one flat parameter vector.
+
+    The model family here has ~26 tiny tensors; a per-leaf optimizer chain
+    is ~200 scalar-shaped XLA ops (~1.3 ms/step on TPU v5e — latency, not
+    compute). Flattening grads/params into a single vector runs the same
+    elementwise math as a handful of large ops. Per-element numerics are
+    identical; the global-norm reduction differs only in summation order.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        gflat, unravel = ravel_pytree(grads)
+        pflat = None if params is None else ravel_pytree(params)[0]
+        upd, state = inner.update(gflat, state, pflat)
+        return unravel(upd), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr_init: float, l2_wd: float, max_grad_norm: float,
-                   num_epochs: int, steps_per_epoch: int):
+                   num_epochs: int, steps_per_epoch: int, fused: bool = True):
     """Build the optax chain mirroring the reference training recipe.
 
     Order matters for parity: torch clips the raw gradient, then Adam sees
     grad + wd*p. optax.add_decayed_weights before adam replicates torch's
     ``Adam(weight_decay=...)`` L2 coupling (decay goes through the Adam
     moments, unlike AdamW).
+
+    ``fused`` applies the chain over one flattened parameter vector
+    (:func:`_fuse_flat`) — same math, far fewer ops.
     """
-    return optax.chain(
+    chain = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.add_decayed_weights(l2_wd),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
@@ -45,3 +72,4 @@ def make_optimizer(lr_init: float, l2_wd: float, max_grad_norm: float,
             cosine_annealing_lr(lr_init, num_epochs, steps_per_epoch)
         ),
     )
+    return _fuse_flat(chain) if fused else chain

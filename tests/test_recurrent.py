@@ -89,3 +89,84 @@ def test_chebyshev_operators_match_diffusion(rng):
     via_ops = jnp.einsum("mbij,bjd->bidm", a_ops, x)
     np.testing.assert_allclose(np.asarray(via_ops), np.asarray(feats),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("num_supports,batch,tile,activation", [
+    (1, 6, 4, "tanh"),   # padding (6 -> 8)
+    (2, 4, 4, "tanh"),   # dual-support, exact tile
+    (1, 5, 2, "relu"),   # padding + relu
+])
+def test_pallas_recurrence_matches_stacked(rng, num_supports, batch, tile,
+                                           activation):
+    """Whole-sequence Pallas kernels (Mosaic interpreter on CPU) vs the
+    stacked XLA implementation: forward and every gradient."""
+    from eeg_gnn_tpu.ops.pallas_recurrent import dcgru_layer_recurrence_pallas
+    from eeg_gnn_tpu.ops.recurrent import (
+        chebyshev_operators,
+        dcgru_layer_recurrence,
+    )
+
+    t, n, h, k = 5, 19, 16, 2
+    m = num_supports * k + 1
+    sup = jnp.asarray(np.abs(rng.randn(num_supports, batch, n, n)) / n,
+                      jnp.float32)
+    a = chebyshev_operators(sup, k)
+    gx = jnp.asarray(rng.randn(t, batch, n, 2 * h), jnp.float32)
+    cx = jnp.asarray(rng.randn(t, batch, n, h), jnp.float32)
+    wg = jnp.asarray(rng.randn(m, h, 2 * h) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.randn(m, h, h) * 0.1, jnp.float32)
+    bg = jnp.asarray(rng.randn(2 * h) * 0.1, jnp.float32)
+    bc = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+    h0 = jnp.asarray(rng.randn(batch, n, h) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.randn(t, batch, n, h), jnp.float32)
+    wlast = jnp.asarray(rng.randn(batch, n, h), jnp.float32)
+
+    args = (gx, cx, wg, wc, bg, bc, h0)
+
+    def loss_s(args):
+        hl, hs = dcgru_layer_recurrence(a, *args, activation)
+        return jnp.sum(hs * wl) + jnp.sum(hl * wlast)
+
+    def loss_p(args):
+        hl, hs = dcgru_layer_recurrence_pallas(a, *args, activation, tile,
+                                               True)
+        return jnp.sum(hs * wl) + jnp.sum(hl * wlast)
+
+    _, hs_s = dcgru_layer_recurrence(a, *args, activation)
+    _, hs_p = dcgru_layer_recurrence_pallas(a, *args, activation, tile, True)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
+
+    gs = jax.grad(loss_s)(args)
+    gp = jax.grad(loss_p)(args)
+    for name, a_, b_ in zip(("gx", "cx", "wg", "wc", "bg", "bc", "h0"),
+                            gs, gp):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pallas_recurrence_shared_graph(rng):
+    """Shared (batch-broadcast) operator stack through the Pallas path."""
+    from eeg_gnn_tpu.ops.pallas_recurrent import dcgru_layer_recurrence_pallas
+    from eeg_gnn_tpu.ops.recurrent import (
+        chebyshev_operators,
+        dcgru_layer_recurrence,
+    )
+
+    t, b, n, h, k = 4, 4, 19, 8, 2
+    sup = jnp.asarray(np.abs(rng.randn(1, n, n)) / n, jnp.float32)
+    a = chebyshev_operators(sup, k)[:, None]  # (M, 1, N, N)
+    m = a.shape[0]
+    gx = jnp.asarray(rng.randn(t, b, n, 2 * h), jnp.float32)
+    cx = jnp.asarray(rng.randn(t, b, n, h), jnp.float32)
+    wg = jnp.asarray(rng.randn(m, h, 2 * h) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.randn(m, h, h) * 0.1, jnp.float32)
+    bg = jnp.zeros(2 * h, jnp.float32)
+    bc = jnp.zeros(h, jnp.float32)
+    h0 = jnp.zeros((b, n, h), jnp.float32)
+
+    _, hs_s = dcgru_layer_recurrence(a, gx, cx, wg, wc, bg, bc, h0, "tanh")
+    _, hs_p = dcgru_layer_recurrence_pallas(a, gx, cx, wg, wc, bg, bc, h0,
+                                            "tanh", 2, True)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
