@@ -53,7 +53,7 @@ def _ring_spmm_local(rows, cols, vals, x_block, *, num_nodes: int,
     out0 = jnp.zeros((num_nodes, d), x_block.dtype)
     # mark the accumulator device-varying so the loop carry types match
     # (shard_map tracks per-value device variance)
-    out0 = jax.lax.pvary(out0, axis_name)
+    out0 = jax.lax.pcast(out0, axis_name, to="varying")
     _, partial = jax.lax.fori_loop(0, p, step, (x_block, out0))
     # reduce partial row sums across devices, each keeps its own row block
     return jax.lax.psum_scatter(partial, axis_name, scatter_dimension=0,
@@ -73,7 +73,7 @@ def edge_partitioned_spmm(mesh: Mesh, graph: SparseGraph, x,
     Returns:
         (num_nodes, D) result, node-sharded over ``axis_name``.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     n = graph.num_nodes
     body = functools.partial(_ring_spmm_local, num_nodes=n,
