@@ -21,7 +21,8 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 128  # measured-best on v5e (benchmarks/batch_sweep_results.json):
+# B=128 8.1k clips/s vs B=64 8.0k; B>=256 regresses (superlinear step time)
 T = 60
 N_NODES = 19
 INPUT_DIM = 100
@@ -41,7 +42,8 @@ def _flagship_batch(batch):
     return x, y, lengths, adj
 
 
-def bench_ours(batch=BATCH, iters=100, warmup=10) -> float:
+def bench_ours(batch=BATCH, iters=100, warmup=10, dtype="float32",
+               batch_tile=16) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +58,8 @@ def bench_ours(batch=BATCH, iters=100, warmup=10) -> float:
     from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
 
     exp_cfg = ExperimentConfig(do_train=True, graph_type="combined",
-                               num_rnn_layers=2, max_seq_len=T).finalize()
+                               num_rnn_layers=2, max_seq_len=T,
+                               dtype=dtype, batch_tile=batch_tile).finalize()
     bundle = build_model(exp_cfg)
     params, model_state = bundle.init(jax.random.PRNGKey(0))
     optimizer = make_optimizer(1e-4, 5e-4, 5.0, 100, 100)

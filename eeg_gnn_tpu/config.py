@@ -72,6 +72,8 @@ class ExperimentConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
     recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
+    batch_tile: int = 16  # clips per block-diagonal operator in the Pallas
+    # whole-sequence recurrence kernels (perf knob; VMEM-bounded)
 
     # Derived
     maximize_metric: bool = True
@@ -122,6 +124,7 @@ class ExperimentConfig:
             scan_unroll=self.scan_unroll,
             compute_dtype=self.dtype,
             recurrence=self.recurrence,
+            batch_tile=self.batch_tile,
         )
 
     def to_json(self) -> str:
@@ -204,6 +207,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "diffusion with XLA auto-adjoint; or whole-sequence "
                         "Pallas kernels (TPU; falls back to stacked "
                         "elsewhere).")
+    p.add_argument("--batch_tile", type=int, default=d.batch_tile,
+                   help="Clips packed per block-diagonal operator in the "
+                        "Pallas whole-sequence recurrence kernels.")
     return p
 
 

@@ -56,6 +56,9 @@ class DCGRUConfig:
     # hand-written BPTT (ops/recurrent.py) — fewer/larger ops per scan step;
     # 'pallas': whole-sequence Mosaic kernels (ops/pallas_recurrent.py),
     # TPU only — silently falls back to 'stacked' on other backends
+    batch_tile: int = 16  # clips packed per block-diagonal operator in the
+    # whole-sequence Pallas kernels (VMEM for the operator block grows as
+    # num_matrices * (tile*N)^2 * 4B — tile 32 with N=19, M=5 is ~7 MB)
 
     @property
     def num_matrices(self) -> int:
@@ -193,7 +196,7 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
             )
 
             h_last, h_seq = dcgru_layer_recurrence_pallas(
-                *args, cfg.activation)
+                *args, cfg.activation, cfg.batch_tile)
         else:
             h_last, h_seq = dcgru_layer_recurrence(*args, cfg.activation)
         return h_last, h_seq
@@ -246,12 +249,14 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
                     use_pallas=False, scan_unroll=1,
-                    compute_dtype="float32", recurrence="pallas"):
+                    compute_dtype="float32", recurrence="pallas",
+                    batch_tile=16):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
                                num_supports, activation, use_pallas,
-                               scan_unroll, compute_dtype, recurrence)
+                               scan_unroll, compute_dtype, recurrence,
+                               batch_tile)
     return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
 
 

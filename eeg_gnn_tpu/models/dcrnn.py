@@ -45,13 +45,14 @@ class DCRNNConfig:
     scan_unroll: int = 1
     compute_dtype: str = "float32"
     recurrence: str = "pallas"
+    batch_tile: int = 16  # Pallas whole-sequence kernel clip-packing tile
 
     def encoder_cfgs(self):
         return encoder_configs(
             self.input_dim, self.rnn_units, self.max_diffusion_step,
             self.num_nodes, self.num_supports, self.num_rnn_layers,
             self.dcgru_activation, self.use_pallas, self.scan_unroll,
-            self.compute_dtype, self.recurrence,
+            self.compute_dtype, self.recurrence, self.batch_tile,
         )
 
 

@@ -192,10 +192,21 @@ def _pad_rows(x, target):
     return jnp.pad(x, ((0, target - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _legal_tile(batch_tile: int, b: int, n: int) -> int:
+    """Smallest tile >= requested whose row block satisfies Mosaic's layout
+    rule: when the row axis is blocked (g > 1), the block's sublane dim
+    (tile*n) must be divisible by 8; a single block (g == 1, block == full
+    array) is always legal."""
+    tb = min(batch_tile, b)
+    while (-(-b // tb) > 1) and (tb * n) % 8:
+        tb += 1
+    return tb
+
+
 def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     """Pad batch, flatten to row-major (T, G*TB*N, .) layouts, build BD."""
     t, b, n, _ = gate_x.shape
-    tb = min(batch_tile, b)
+    tb = _legal_tile(batch_tile, b, n)
     g = -(-b // tb)
     bp = g * tb
     if a_ops.shape[1] == 1 and bp > 1:
@@ -360,7 +371,7 @@ def _vjp_fwd(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
         a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0, activation,
         batch_tile, interpret)
     t, b, n, _ = gate_x.shape
-    tb = min(batch_tile, b)
+    tb = _legal_tile(batch_tile, b, n)
     g = bd.shape[0]
     rows = tb * n
     h0f = jnp.pad(h0, ((0, g * tb - b), (0, 0), (0, 0))) if g * tb != b else h0
