@@ -11,17 +11,44 @@ input/output blocks (HBM <-> VMEM DMA overlapped with compute).
 
 Math is identical to ``ops/recurrent.py`` (the operator-stacked scan with
 hand-written BPTT — see that module's docstring for the derivation and the
-reference citations); the Chebyshev operator stack is materialized as
-*block-diagonal* per-tile matrices ``BD[g, m]`` of shape (TB*N, TB*N) so
-the per-step operator application is ONE MXU ``dot`` over all TB clips
-instead of a batched loop of 19x19 matmuls.
+reference citations).
 
-Layouts inside the kernel (everything 2-D, rows = TB*N):
+Round-2 redesign (replaces the round-1 block-diagonal layout): packing
+``batch_tile`` clips into one (TB*N, TB*N) block-diagonal operator made the
+per-step MXU work grow *quadratically* in the tile (only TB*N^2 of the
+(TB*N)^2 multiplies are useful) and materialized O(B*TB*N^2) mostly-zero
+HBM — the measured cause of the superlinear step time above B=128. The
+operators are now kept *compact*:
 
-    h, c, cand_x slices:  (TB*N, H)
-    ru, gate_x slices:    (TB*N, 2H)
-    BD block:             (M, TB*N, TB*N)
+    per-clip stack      (TB * M*Np, Np)   one (M*Np, Np) slab per clip
+    shared stack        (M*Np, Np)        batch-broadcast graphs (the
+                                          distance-graph flagship) read ONE
+                                          slab for every clip
+
+with the node count padded to ``Np = ceil(N/8)*8`` (=24 for the 19-channel
+montage) so every in-kernel slab slice is sublane-aligned. Zero rows/cols
+on padded nodes keep their garbage activations confined (diffusion can't
+leak across zero operator entries; everything else is row-local), and the
+backward's padded-row cotangents are exactly zero, so gradients match the
+unpadded math.
+
+Per-clip (M*Np, Np) x (Np, H) dots are MXU-*latency*-bound (~100 cycles
+each regardless of the 6% useful occupancy), so ``_GROUP`` clips are packed
+into one mini block-diagonal per dot — J*Np = 96 <= 128 keeps the
+contraction inside ONE K-tile, making the J-fold zero padding free while
+cutting the dot count J-fold. (Round 1's mistake was TB-sized block
+diagonals: K = TB*N spans many K-tiles and the waste turns *quadratic* in
+the tile.) Per timestep the kernel thus runs TB/J mini-block dots per
+diffusion plus M large (TB*Np, H) x (H, O) weight GEMMs.
+
+Layouts inside the kernel (everything 2-D or a 3-D scratch whose leading
+axis is untiled; rows are clip-major ``tb*Np + n``):
+
+    h, c, cand_x slices:  (TB*Np, H)
+    ru, gate_x slices:    (TB*Np, 2H)
+    operators:            (TB * M*Np, Np) fwd / (TB*Np, M*Np) transposed bwd
     weights:              (M*H, 2H) / (M*H, H)  (m-major rows)
+    feats scratch:        (M, TB*Np, H)
 
 Zero-padding the batch to a tile multiple is safe end-to-end: padded rows
 produce garbage forward activations that are never read, and the backward
@@ -42,59 +69,150 @@ from eeg_gnn_tpu.ops.recurrent import _act_pair
 
 # MXU passes for the in-kernel f32 matmuls. Mosaic supports DEFAULT (one
 # bf16 pass — the same effective precision as the XLA paths' default
-# matmul precision; measured 8.5 ms full step) and HIGHEST (exact f32,
-# 16.7 ms). DEFAULT matches the rest of the framework; flip for debugging.
+# matmul precision) and HIGHEST (exact f32, ~2x step time; flip for
+# debugging).
 _PRECISION = jax.lax.Precision.DEFAULT
 
 
-def build_block_diag(a_ops, batch_tile: int):
-    """(M, B, N, N) operator stack -> (G, M, TB*N, TB*N) block-diagonals.
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_PRECISION)
 
-    B must already be padded to G * batch_tile (pad with zeros).
+
+def _pad_axis(x, axis: int, target: int):
+    if x.shape[axis] == target:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pads)
+
+
+def _legal_tile(batch_tile: int, b: int, n: int = 0) -> int:
+    """Clip tile to the batch. Any tile is layout-legal now: the node dim is
+    padded to a multiple of 8, so every slab slice is sublane-aligned (the
+    round-1 block-diagonal rule requiring (tile*N) % 8 == 0 is gone)."""
+    del n
+    return max(1, min(batch_tile, b))
+
+
+def _group_size(tb: int, np_: int) -> int:
+    """Clips packed per mini-block-diagonal dot: the largest J dividing the
+    tile with J*Np <= 128 (one MXU K-tile — the J-fold zero fill is free on
+    latency-bound dots)."""
+    j = max(1, 128 // np_)
+    while tb % j:
+        j -= 1
+    return j
+
+
+def _group_blockdiag(a, j, np_):
+    """(M, B, Np, Np) -> (G, (TB/J)*M*J*Np, J*Np) grouped operator stacks.
+
+    Per group of J clips the M slabs are stacked vertically, each slab a
+    J-clip block diagonal, so ONE (M*J*Np, J*Np) x (J*Np, H) dot diffuses
+    the whole group for every Chebyshev order at once.
     """
-    m, b, n, _ = a_ops.shape
-    g = b // batch_tile
-    tiles = a_ops.reshape(m, g, batch_tile, n, n)
-    out = jnp.zeros((g, m, batch_tile * n, batch_tile * n), a_ops.dtype)
-    for tb in range(batch_tile):
-        out = out.at[:, :, tb * n:(tb + 1) * n, tb * n:(tb + 1) * n].set(
-            jnp.transpose(tiles[:, :, tb], (1, 0, 2, 3)))
+    m, b, _, _ = a.shape
+    ng = b // j
+    tiles = a.reshape(m, ng, j, np_, np_)
+    out = jnp.zeros((ng, m, j * np_, j * np_), a.dtype)
+    for ji in range(j):
+        out = out.at[:, :, ji * np_:(ji + 1) * np_,
+                     ji * np_:(ji + 1) * np_].set(
+            jnp.transpose(tiles[:, :, ji], (1, 0, 2, 3)))
     return out
 
 
-def _fwd_kernel(bd_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
-                gx_ref, cx_ref, hseq_ref, ru_ref, c_ref, h_scr,
-                *, num_matrices: int, rows: int, h_units: int,
-                activation: str):
+def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
+    """Pad batch + nodes, build grouped operator stacks, flatten layouts.
+
+    Returns (a_c, a_t, gx, cx, h0f, shared, dims) where
+      a_c: fwd stack — (M*J*Np, J*Np) if shared else (G, (TB/J)*M*J*Np, J*Np)
+      a_t: bwd transpose — (J*Np, M*J*Np) if shared else
+           (G, TB*Np, M*J*Np)
+      gx/cx: (T, G*TB*Np, 2H/H); h0f: (G, TB*Np, H)
+      dims: (t, b, n, np_, tb, g, j)
+    """
+    t, b, n, _ = gate_x.shape
+    m = a_ops.shape[0]
+    np_ = -(-n // 8) * 8
+    shared = a_ops.shape[1] == 1
+    tb = _legal_tile(batch_tile, b)
+    j = _group_size(tb, np_)
+    g = -(-b // tb)
+    bp = g * tb
+
+    if bp != b:
+        gate_x = _pad_axis(gate_x, 1, bp)
+        cand_x = _pad_axis(cand_x, 1, bp)
+        h0 = _pad_axis(h0, 0, bp)
+        if not shared:
+            a_ops = _pad_axis(a_ops, 1, bp)
+    # node padding: zero rows/cols keep padded nodes fully decoupled
+    gate_x = _pad_axis(gate_x, 2, np_)
+    cand_x = _pad_axis(cand_x, 2, np_)
+    h0 = _pad_axis(h0, 1, np_)
+    a_ops = _pad_axis(_pad_axis(a_ops, 2, np_), 3, np_)
+
+    if shared:
+        bd = _group_blockdiag(
+            jnp.broadcast_to(a_ops[:, 0:1], (m, j, np_, np_)), j, np_)
+        a_c = bd.reshape(m * j * np_, j * np_)
+        a_t = jnp.transpose(bd[0], (0, 2, 1)).reshape(
+            m, j * np_, j * np_).transpose(1, 0, 2).reshape(
+            j * np_, m * j * np_)
+    else:
+        bd = _group_blockdiag(a_ops, j, np_)  # (B/J, M, J*Np, J*Np)
+        ng = bp // j
+        a_c = bd.reshape(g, (tb // j) * m * j * np_, j * np_)
+        # transposed horizontal stacks: per group (J*Np, M*J*Np)
+        a_t = jnp.transpose(bd, (0, 3, 1, 2)).reshape(
+            ng, j * np_, m * j * np_).reshape(g, tb * np_, m * j * np_)
+
+    gx = gate_x.reshape(t, g * tb * np_, -1)
+    cx = cand_x.reshape(t, g * tb * np_, -1)
+    h0f = h0.reshape(g, tb * np_, -1)
+    return a_c, a_t, gx, cx, h0f, shared, (t, b, n, np_, tb, g, j)
+
+
+def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
+                gx_ref, cx_ref, hseq_ref, ru_ref, c_ref, h_scr, feats_scr,
+                *, m: int, np_: int, tb: int, j: int, h_units: int,
+                activation: str, shared: bool):
     act, _ = _act_pair(activation)
     t = pl.program_id(1)
+    gr = j * np_  # rows per clip group
 
     @pl.when(t == 0)
     def _():
         h_scr[:] = h0_ref[0]
 
     h = h_scr[:]
-    bd = bd_ref[0].reshape(num_matrices * rows, rows)
 
-    feats = jnp.dot(bd, h, preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    def diffuse(x2d):
+        """Per-group (M*J*Np, J*Np) x (J*Np, H) dots -> feats_scr."""
+        a_shared = a_ref[:] if shared else None
+        for i in range(tb // j):
+            a_blk = a_shared if shared else \
+                a_ref[0][i * m * gr:(i + 1) * m * gr]
+            f = _dot(a_blk, x2d[i * gr:(i + 1) * gr])  # (M*J*Np, H-ish)
+            for mi in range(m):
+                feats_scr[mi, i * gr:(i + 1) * gr, :] = \
+                    f[mi * gr:(mi + 1) * gr]
+
+    diffuse(h)
     gate = gx_ref[0] + bg_ref[:]
-    for m in range(num_matrices):
-        gate = gate + jnp.dot(feats[m * rows:(m + 1) * rows],
-                              wg_ref[m * h_units:(m + 1) * h_units],
-                              preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    for mi in range(m):
+        gate = gate + _dot(feats_scr[mi],
+                           wg_ref[mi * h_units:(mi + 1) * h_units])
     ru = jax.nn.sigmoid(gate)
     r, u = ru[:, :h_units], ru[:, h_units:]
 
-    rfeats = jnp.dot(bd, r * h, preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    diffuse(r * h)
     cand = cx_ref[0] + bc_ref[:]
-    for m in range(num_matrices):
-        cand = cand + jnp.dot(rfeats[m * rows:(m + 1) * rows],
-                              wc_ref[m * h_units:(m + 1) * h_units],
-                              preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    for mi in range(m):
+        cand = cand + _dot(feats_scr[mi],
+                           wc_ref[mi * h_units:(mi + 1) * h_units])
     c = act(cand)
 
     h_new = u * h + (1.0 - u) * c
@@ -104,10 +222,11 @@ def _fwd_kernel(bd_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
     c_ref[0] = c.astype(c_ref.dtype)
 
 
-def _bwd_kernel(bd_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref, dseq_ref,
-                dgx_ref, dcx_ref, dh0_ref, dwg_ref, dwc_ref, dbg_ref,
-                dbc_ref, dh_scr, *, num_matrices: int, rows: int,
-                h_units: int, activation: str, t_total: int):
+def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
+                dseq_ref, dgx_ref, dcx_ref, dh0_ref, dwg_ref, dwc_ref,
+                dbg_ref, dbc_ref, dh_scr, hfeats_scr, rfeats_scr, dy_scr,
+                adj_scr, *, m: int, np_: int, tb: int, j: int, h_units: int,
+                activation: str, t_total: int, shared: bool):
     _, act_grad = _act_pair(activation)
     gidx = pl.program_id(0)
     tg = pl.program_id(1)  # 0 .. T-1, walking time BACKWARD via index maps
@@ -123,7 +242,6 @@ def _bwd_kernel(bd_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref, dseq_ref,
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
-    bd = bd_ref[0].reshape(num_matrices * rows, rows)
     h_prev = hprev_ref[0]
     ru = ru_ref[0].astype(jnp.float32)
     c = c_ref[0].astype(jnp.float32)
@@ -134,48 +252,67 @@ def _bwd_kernel(bd_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref, dseq_ref,
     dc = g * (1.0 - u)
     dc_pre = dc * act_grad(c)
 
-    rfeats = jnp.dot(bd, r * h_prev, preferred_element_type=jnp.float32,
-            precision=_PRECISION)
-    drh = jnp.zeros_like(h_prev)
-    for m in range(num_matrices):
-        fm = rfeats[m * rows:(m + 1) * rows]
-        dwc_ref[m * h_units:(m + 1) * h_units] += jax.lax.dot_general(
-            fm, dc_pre, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)
-        dr_m = jax.lax.dot_general(
-            dc_pre, wc_ref[m * h_units:(m + 1) * h_units],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)  # (rows, H)
-        drh = drh + jax.lax.dot_general(
-            bd_ref[0][m], dr_m, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    gr = j * np_  # rows per clip group
+    # recompute both diffusions fused: one dot per group over [h_prev | r*h]
+    rh = r * h_prev
+    a_shared = a_ref[:] if shared else None
+    for i in range(tb // j):
+        a_blk = a_shared if shared else \
+            a_ref[0][i * m * gr:(i + 1) * m * gr]
+        x2 = jnp.concatenate(
+            [h_prev[i * gr:(i + 1) * gr], rh[i * gr:(i + 1) * gr]],
+            axis=1)
+        f = _dot(a_blk, x2)  # (M*J*Np, 2H): [:, :H] = hfeats, [:, H:] = rfeats
+        for mi in range(m):
+            blk = f[mi * gr:(mi + 1) * gr]
+            hfeats_scr[mi, i * gr:(i + 1) * gr, :] = blk[:, :h_units]
+            rfeats_scr[mi, i * gr:(i + 1) * gr, :] = blk[:, h_units:]
+
+    def apply_ops_t():
+        """sum_m A_m^T @ dy_scr[:, m-slab] per group -> adj_scr (TB*Np, H)."""
+        at_shared = at_ref[:] if shared else None
+        for i in range(tb // j):
+            at_blk = at_shared if shared else \
+                at_ref[0][i * gr:(i + 1) * gr]
+            adj_scr[i * gr:(i + 1) * gr, :] = _dot(at_blk, dy_scr[i])
+
+    # candidate path
+    for mi in range(m):
+        wci = wc_ref[mi * h_units:(mi + 1) * h_units]
+        dwc_ref[mi * h_units:(mi + 1) * h_units] += jax.lax.dot_general(
+            rfeats_scr[mi], dc_pre,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+        dy = jax.lax.dot_general(
+            dc_pre, wci, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+        for i in range(tb // j):
+            dy_scr[i, mi * gr:(mi + 1) * gr, :] = \
+                dy[i * gr:(i + 1) * gr]
     dbc_ref[:] += jnp.sum(dc_pre, axis=0, keepdims=True)
+    apply_ops_t()
+    drh = adj_scr[:]
 
     dr = drh * h_prev
     dru_pre = jnp.concatenate([dr, du], axis=1) * ru * (1.0 - ru)
 
-    hfeats = jnp.dot(bd, h_prev, preferred_element_type=jnp.float32,
-            precision=_PRECISION)
-    dh_prev = g * u + drh * r
-    for m in range(num_matrices):
-        fm = hfeats[m * rows:(m + 1) * rows]
-        dwg_ref[m * h_units:(m + 1) * h_units] += jax.lax.dot_general(
-            fm, dru_pre, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)
-        dhm_m = jax.lax.dot_general(
-            dru_pre, wg_ref[m * h_units:(m + 1) * h_units],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)
-        dh_prev = dh_prev + jax.lax.dot_general(
-            bd_ref[0][m], dhm_m, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+    # gate path
+    for mi in range(m):
+        wgi = wg_ref[mi * h_units:(mi + 1) * h_units]
+        dwg_ref[mi * h_units:(mi + 1) * h_units] += jax.lax.dot_general(
+            hfeats_scr[mi], dru_pre,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+        dz = jax.lax.dot_general(
+            dru_pre, wgi, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+        for i in range(tb // j):
+            dy_scr[i, mi * gr:(mi + 1) * gr, :] = \
+                dz[i * gr:(i + 1) * gr]
     dbg_ref[:] += jnp.sum(dru_pre, axis=0, keepdims=True)
+    apply_ops_t()
+
+    dh_prev = g * u + drh * r + adj_scr[:]
 
     dgx_ref[0] = dru_pre
     dcx_ref[0] = dc_pre
@@ -186,62 +323,42 @@ def _bwd_kernel(bd_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref, dseq_ref,
         dh0_ref[0] = dh_prev
 
 
-def _pad_rows(x, target):
-    if x.shape[0] == target:
-        return x
-    return jnp.pad(x, ((0, target - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
-
-
-def _legal_tile(batch_tile: int, b: int, n: int) -> int:
-    """Smallest tile >= requested whose row block satisfies Mosaic's layout
-    rule: when the row axis is blocked (g > 1), the block's sublane dim
-    (tile*n) must be divisible by 8; a single block (g == 1, block == full
-    array) is always legal."""
-    tb = min(batch_tile, b)
-    while (-(-b // tb) > 1) and (tb * n) % 8:
-        tb += 1
-    return tb
-
-
-def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
-    """Pad batch, flatten to row-major (T, G*TB*N, .) layouts, build BD."""
-    t, b, n, _ = gate_x.shape
-    tb = _legal_tile(batch_tile, b, n)
-    g = -(-b // tb)
-    bp = g * tb
-    if a_ops.shape[1] == 1 and bp > 1:
-        a_ops = jnp.broadcast_to(a_ops, (a_ops.shape[0], b) + a_ops.shape[2:])
-    if bp != b:
-        a_ops = jnp.pad(a_ops, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
-        gate_x = jnp.pad(gate_x, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
-        cand_x = jnp.pad(cand_x, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
-        h0 = jnp.pad(h0, ((0, bp - b), (0, 0), (0, 0)))
-    bd = build_block_diag(a_ops, tb)  # (G, M, TB*N, TB*N)
-    rows = tb * n
-    gx = gate_x.reshape(t, g * rows, -1)
-    cx = cand_x.reshape(t, g * rows, -1)
-    h0f = h0.reshape(g, rows, -1)
-    return bd, gx, cx, h0f, (t, b, n, tb, g, rows)
+def _a_specs(shared, m, np_, tb, j):
+    """BlockSpecs for the fwd operator stack and its bwd transpose."""
+    gr = j * np_
+    if shared:
+        fwd = pl.BlockSpec((m * gr, gr), lambda i, t: (0, 0),
+                           memory_space=pltpu.VMEM)
+        bwd = pl.BlockSpec((gr, m * gr), lambda i, t: (0, 0),
+                           memory_space=pltpu.VMEM)
+    else:
+        fwd = pl.BlockSpec((1, (tb // j) * m * gr, gr),
+                           lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM)
+        bwd = pl.BlockSpec((1, tb * np_, m * gr), lambda i, t: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return fwd, bwd
 
 
 def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret, residual_dtype=jnp.float32):
-    bd, gx, cx, h0f, (t, b, n, tb, g, rows) = _prep(
+    a_c, a_t, gx, cx, h0f, shared, dims = _prep(
         a_ops, gate_x, cand_x, h0, batch_tile)
+    t, b, n, np_, tb, g, j = dims
     m = a_ops.shape[0]
     h_units = h0.shape[-1]
+    rows = tb * np_
     wg_f = wg_r.reshape(m * h_units, -1)
     wc_f = wc_r.reshape(m * h_units, -1)
 
+    a_fwd_spec, _ = _a_specs(shared, m, np_, tb, j)
     kernel = functools.partial(
-        _fwd_kernel, num_matrices=m, rows=rows, h_units=h_units,
-        activation=activation)
+        _fwd_kernel, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
+        activation=activation, shared=shared)
     h_seq, ru_seq, c_seq = pl.pallas_call(
         kernel,
         grid=(g, t),
         in_specs=[
-            pl.BlockSpec((1, m, rows, rows), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            a_fwd_spec,
             pl.BlockSpec((m * h_units, 2 * h_units), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m * h_units, h_units), lambda i, j: (0, 0),
@@ -270,20 +387,24 @@ def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
             jax.ShapeDtypeStruct((t, g * rows, 2 * h_units), residual_dtype),
             jax.ShapeDtypeStruct((t, g * rows, h_units), residual_dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((rows, h_units), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((rows, h_units), jnp.float32),
+            pltpu.VMEM((m, rows, h_units), jnp.float32),
+        ],
         interpret=interpret,
-    )(bd, wg_f, wc_f, gate_b.reshape(1, -1), cand_b.reshape(1, -1),
+    )(a_c, wg_f, wc_f, gate_b.reshape(1, -1), cand_b.reshape(1, -1),
       h0f, gx, cx)
 
-    h_seq_out = h_seq.reshape(t, g * tb, n, h_units)[:, :b]
-    return h_seq_out, (bd, h_seq, ru_seq, c_seq)
+    h_seq_out = h_seq.reshape(t, g * tb, np_, h_units)[:, :b, :n]
+    return h_seq_out, (a_c, a_t, h_seq, ru_seq, c_seq, shared, dims)
 
 
-def _backward(bd, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_seq_flat,
-              activation, interpret, dims):
-    t, b, n, tb, g, rows = dims
-    m = bd.shape[1]
+def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
+              d_seq_flat, activation, interpret, shared, dims):
+    t, b, n, np_, tb, g, j = dims
+    m = wg_r.shape[0]
     h_units = wc_r.shape[-1]
+    rows = tb * np_
     wg_f = wg_r.reshape(m * h_units, -1)
     wc_f = wc_r.reshape(m * h_units, -1)
 
@@ -291,16 +412,17 @@ def _backward(bd, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_seq_flat,
     h_prev = jnp.concatenate([h0f.reshape(1, g * rows, h_units),
                               h_seq_flat[:-1]], axis=0)
 
+    a_fwd_spec, a_bwd_spec = _a_specs(shared, m, np_, tb, j)
     kernel = functools.partial(
-        _bwd_kernel, num_matrices=m, rows=rows, h_units=h_units,
-        activation=activation, t_total=t)
+        _bwd_kernel, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
+        activation=activation, t_total=t, shared=shared)
     rev = lambda i, j: (t - 1 - j, i, 0)  # walk time backward
     dgx, dcx, dh0, dwg, dwc, dbg, dbc = pl.pallas_call(
         kernel,
         grid=(g, t),
         in_specs=[
-            pl.BlockSpec((1, m, rows, rows), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            a_fwd_spec,
+            a_bwd_spec,
             pl.BlockSpec((m * h_units, 2 * h_units), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m * h_units, h_units), lambda i, j: (0, 0),
@@ -335,13 +457,20 @@ def _backward(bd, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_seq_flat,
             jax.ShapeDtypeStruct((1, 2 * h_units), jnp.float32),
             jax.ShapeDtypeStruct((1, h_units), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((rows, h_units), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((rows, h_units), jnp.float32),        # dh carry
+            pltpu.VMEM((m, rows, h_units), jnp.float32),     # hfeats
+            pltpu.VMEM((m, rows, h_units), jnp.float32),     # rfeats
+            pltpu.VMEM((tb // j, m * j * np_, h_units),
+                       jnp.float32),                         # dy per group
+            pltpu.VMEM((rows, h_units), jnp.float32),        # A^T apply out
+        ],
         interpret=interpret,
-    )(bd, wg_f, wc_f, h_prev, ru_seq, c_seq, d_seq_flat)
+    )(a_c, a_t, wg_f, wc_f, h_prev, ru_seq, c_seq, d_seq_flat)
 
-    dgx = dgx.reshape(t, g * tb, n, 2 * h_units)[:, :b]
-    dcx = dcx.reshape(t, g * tb, n, h_units)[:, :b]
-    dh0 = dh0.reshape(g * tb, n, h_units)[:b]
+    dgx = dgx.reshape(t, g * tb, np_, 2 * h_units)[:, :b, :n]
+    dcx = dcx.reshape(t, g * tb, np_, h_units)[:, :b, :n]
+    dh0 = dh0.reshape(g * tb, np_, h_units)[:b, :n]
     return (dgx, dcx, dwg.reshape(m, h_units, 2 * h_units),
             dwc.reshape(m, h_units, h_units), dbg.reshape(-1),
             dbc.reshape(-1), dh0)
@@ -356,9 +485,9 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
 
     Same contract as :func:`eeg_gnn_tpu.ops.recurrent.dcgru_layer_recurrence`
     (operator stack in, (h_last, h_seq) out, no gradient for ``a_ops``);
-    ``batch_tile`` clips are packed into one block-diagonal operator so each
-    timestep is a single MXU dot per conv. ``interpret=True`` runs the
-    Mosaic interpreter (CPU tests).
+    ``batch_tile`` clips are processed per grid step with compact per-clip
+    operator slabs (a single shared slab when the stack is batch-broadcast).
+    ``interpret=True`` runs the Mosaic interpreter (CPU tests).
     """
     h_seq, _ = _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b,
                         h0, activation, batch_tile, interpret)
@@ -367,33 +496,32 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
 
 def _vjp_fwd(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret):
-    h_seq, (bd, h_seq_flat, ru_seq, c_seq) = _forward(
+    h_seq, (a_c, a_t, h_seq_flat, ru_seq, c_seq, shared, dims) = _forward(
         a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0, activation,
         batch_tile, interpret)
-    t, b, n, _ = gate_x.shape
-    tb = _legal_tile(batch_tile, b, n)
-    g = bd.shape[0]
-    rows = tb * n
-    h0f = jnp.pad(h0, ((0, g * tb - b), (0, 0), (0, 0))) if g * tb != b else h0
-    res = (bd, wg_r, wc_r, h0f.reshape(g, rows, -1), h_seq_flat, ru_seq,
-           c_seq, a_ops.shape, (t, b, n, tb, g, rows))
+    t, b, n, np_, tb, g, j = dims
+    rows = tb * np_
+    h0p = _pad_axis(_pad_axis(h0, 0, g * tb), 1, np_)
+    res = (a_c, a_t, wg_r, wc_r, h0p.reshape(g, rows, -1), h_seq_flat,
+           ru_seq, c_seq, a_ops.shape, shared, dims)
     return (h_seq[-1], h_seq), res
 
 
 def _vjp_bwd(activation, batch_tile, interpret, res, grads):
-    bd, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, a_shape, dims = res
-    t, b, n, tb, g, rows = dims
+    (a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, a_shape, shared,
+     dims) = res
+    t, b, n, np_, tb, g, j = dims
     d_last, d_seq = grads
     h_units = wc_r.shape[-1]
+    rows = tb * np_
 
     d_seq = d_seq.at[-1].add(d_last)
-    d_pad = jnp.pad(d_seq, ((0, 0), (0, g * tb - b), (0, 0), (0, 0))) \
-        if g * tb != b else d_seq
+    d_pad = _pad_axis(_pad_axis(d_seq, 1, g * tb), 2, np_)
     d_flat = d_pad.reshape(t, g * rows, h_units)
 
     dgx, dcx, dwg, dwc, dbg, dbc, dh0 = _backward(
-        bd, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat, activation,
-        interpret, dims)
+        a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat,
+        activation, interpret, shared, dims)
     # a_ops gradient intentionally zero (supports are data, never trained)
     da = jnp.zeros(a_shape, dgx.dtype)
     return (da, dgx, dcx, dwg, dwc, dbg, dbc, dh0)

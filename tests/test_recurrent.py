@@ -173,16 +173,18 @@ def test_pallas_recurrence_shared_graph(rng):
 
 
 def test_pallas_tile_legalization():
-    """Mosaic needs the blocked row dim (tile*N) divisible by 8 (or one
-    single block); _legal_tile must round odd tiles up accordingly."""
+    """With the node dim padded to a multiple of 8, every slab slice is
+    sublane-aligned, so any tile <= batch is legal (round-1's divisibility
+    rule is gone)."""
     from eeg_gnn_tpu.ops.pallas_recurrent import _legal_tile
 
     n = 19
-    assert _legal_tile(16, 64, n) == 16    # 304 % 8 == 0, unchanged
-    assert _legal_tile(8, 64, n) == 8      # 152 % 8 == 0
-    assert _legal_tile(4, 64, n) == 8      # 76 % 8 != 0 -> bumped
-    assert _legal_tile(4, 6, n) == 6       # g == 1 -> any tile legal
-    assert _legal_tile(3, 12, n) == 8      # bumped until divisible
+    assert _legal_tile(16, 64, n) == 16
+    assert _legal_tile(8, 64, n) == 8
+    assert _legal_tile(4, 64, n) == 4      # no longer bumped
+    assert _legal_tile(4, 6, n) == 4
+    assert _legal_tile(32, 12, n) == 12    # clipped to batch
+    assert _legal_tile(3, 12, n) == 3
     assert _legal_tile(16, 8, n) == 8      # capped at batch
     # an even node count relaxes the divisibility requirement
     assert _legal_tile(4, 64, 16) == 4     # 64 % 8 == 0
