@@ -138,6 +138,39 @@ def dcgru_cell_apply(cfg: DCGRUConfig, params, supports, x, h):
     return u * h + (1.0 - u) * c
 
 
+def dcgru_cell_apply_ops(cfg: DCGRUConfig, w_gate_r, w_cand_r, gate_b,
+                         cand_b, a_ops, x, h):
+    """One DCGRU step on a precomputed Chebyshev operator stack.
+
+    Same math as :func:`dcgru_cell_apply` up to float associativity
+    (operators composed before application; see ``ops/recurrent.py``), but
+    each diffusion is ONE batched matmul instead of re-running the K-step
+    Chebyshev recurrence — this is the fast path for the decoder scan where
+    the data-dependent feedback (reference model.py:182-202, hot loop #3)
+    prevents hoisting the input projection out of the loop.
+
+    Args:
+        w_gate_r / w_cand_r: (M, D_total, 2H/H) rearranged weights
+            (:func:`eeg_gnn_tpu.ops.recurrent.rearrange_hidden_weight` on the
+            full (D_total*M, O) reference-layout weight).
+        a_ops: (M, B_or_1, N, N) operator stack
+            (:func:`eeg_gnn_tpu.ops.recurrent.chebyshev_operators`).
+    """
+    from eeg_gnn_tpu.ops.recurrent import _apply_ops, _contract_w
+
+    act = _activation_fn(cfg.activation)
+    h_units = cfg.num_units
+
+    xh = jnp.concatenate([x, h], axis=-1)
+    ru = jax.nn.sigmoid(_contract_w(_apply_ops(a_ops, xh), w_gate_r) + gate_b)
+    r, u = ru[..., :h_units], ru[..., h_units:]
+
+    xrh = jnp.concatenate([x, r * h], axis=-1)
+    c = act(_contract_w(_apply_ops(a_ops, xrh), w_cand_r) + cand_b)
+
+    return u * h + (1.0 - u) * c
+
+
 def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
     """Scan one DCGRU layer over time with the input work hoisted out.
 
@@ -350,6 +383,11 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
     reference's Python ``random.random()``; exact stream parity is
     impossible and not required — golden tests run with forcing off).
     """
+    from eeg_gnn_tpu.ops.recurrent import (
+        chebyshev_operators,
+        rearrange_hidden_weight,
+    )
+
     cfg0, cfg_shared = cfgs
     t_out, b, n, out_dim = dec_inputs.shape
     h_units = cfg0.num_units
@@ -361,10 +399,25 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
 
     proj_w_t = params["proj_w"].T  # (H, output_dim)
 
-    def cell_for(i):
-        if i == 0:
-            return cfg0, params["layer0"]
-        return cfg_shared, params["shared"]
+    # Hoist the Chebyshev operator composition out of the feedback loop
+    # (reference hot loop #3, model.py:182-202): each in-scan diffusion is
+    # then one batched matmul instead of a K-step recurrence.
+    m = cfg0.num_matrices
+    a_ops = chebyshev_operators(supports, cfg0.max_diffusion_step)
+    if a_ops.ndim == 3:
+        a_ops = a_ops[:, None]
+    a_ops = jax.lax.stop_gradient(a_ops)
+
+    def cell_weights(i):
+        cfg_i = cfg0 if i == 0 else cfg_shared
+        p_i = params["layer0"] if i == 0 else params["shared"]
+        d_total = cfg_i.input_dim + cfg_i.num_units
+        return (cfg_i,
+                rearrange_hidden_weight(p_i["gate_w"], d_total, m),
+                rearrange_hidden_weight(p_i["cand_w"], d_total, m),
+                p_i["gate_b"], p_i["cand_b"])
+
+    cells = [cell_weights(i) for i in range(num_layers)]
 
     go = jnp.zeros((b, n, out_dim), dec_inputs.dtype)
 
@@ -375,8 +428,9 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
         new_h = []
         out = cur
         for i in range(num_layers):
-            cfg_i, p_i = cell_for(i)
-            h_i = dcgru_cell_apply(cfg_i, p_i, supports, out, h_stack[i])
+            cfg_i, wg_r, wc_r, gb, cb = cells[i]
+            h_i = dcgru_cell_apply_ops(cfg_i, wg_r, wc_r, gb, cb, a_ops,
+                                       out, h_stack[i])
             out = h_i
             new_h.append(h_i)
         h_stack = jnp.stack(new_h, axis=0)
