@@ -43,10 +43,12 @@ def supervised_loss_fn(bundle, task: str, input_pipeline=None):
             batch = {**batch, "x": x, "supports": supports}
         logits, new_state = bundle.apply(params, model_state, batch,
                                          training=training, rng=rng)
+        valid = batch.get("valid")  # padded rows masked out of the loss
         if task == "detection":
-            return bce_with_logits(logits, batch["y"]), (logits, new_state)
+            return (bce_with_logits(logits, batch["y"], valid=valid),
+                    (logits, new_state))
         return (
-            cross_entropy(logits, batch["y"].astype(jnp.int32)),
+            cross_entropy(logits, batch["y"].astype(jnp.int32), valid=valid),
             (logits, new_state),
         )
 
@@ -73,6 +75,7 @@ def ssl_loss_fn(model_cfg, mean, std, loss_name_train: str = "MAE",
         loss = compute_regression_loss(
             batch["y"], preds, mean=mean, std=std,
             loss_fn=loss_name_train if training else "mae",
+            valid=batch.get("valid"),
         )
         return loss, (preds, model_state)
 
@@ -180,9 +183,13 @@ def shard_batch(batch: Dict[str, Any], mesh, batch_axes: Optional[Dict[str, int]
     """Place a host batch onto the mesh, sharding batch dims on 'data'.
 
     ``supports`` are stacked (S, B, N, N) -> batch axis 1; everything else
-    axis 0 by default.
+    axis 0 by default. Multi-process: each process passes its host-local
+    row slice and the shards assemble into one global jax.Array
+    (``parallel.distributed.form_global_array``); replicated entries
+    (scalars like ``valid``) must be identical on every process.
     """
-    from eeg_gnn_tpu.parallel.mesh import batch_sharding
+    from eeg_gnn_tpu.parallel.distributed import form_global_array
+    from eeg_gnn_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
     batch_axes = batch_axes or {}
     out = {}
@@ -191,5 +198,8 @@ def shard_batch(batch: Dict[str, Any], mesh, batch_axes: Optional[Dict[str, int]
             out[k] = None
             continue
         axis = batch_axes.get(k, 1 if k == "supports" else 0)
-        out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim, axis))
+        if k == "valid" or v.ndim <= axis:  # scalars (e.g. valid counts)
+            out[k] = form_global_array(v, replicated_sharding(mesh))
+        else:
+            out[k] = form_global_array(v, batch_sharding(mesh, v.ndim, axis))
     return out

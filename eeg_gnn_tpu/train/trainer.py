@@ -79,6 +79,10 @@ class Trainer:
         self.mesh = mesh
         self.input_pipeline = input_pipeline
         self.is_ssl = cfg.task == "SS pre-training"
+        # multi-host: every process holds 1/n_procs of each global batch
+        # (parallel/distributed.py); batch dicts are assembled into global
+        # jax.Arrays and the loss masks the global valid count.
+        self.n_procs = jax.process_count()
 
         steps_per_epoch = max(1, len(loaders["train"]))
         self.optimizer = make_optimizer(
@@ -110,8 +114,14 @@ class Trainer:
     # -- batch placement ---------------------------------------------------
 
     def _host_batch(self, batch, batch_size: int):
-        """Pad to fixed size and lay out as a dict of host numpy arrays."""
-        batch, valid = _pad_batch(batch, batch_size)
+        """Pad to the fixed per-process size and lay out as a dict of host
+        numpy arrays. ``batch_size`` is the GLOBAL batch size; with
+        multi-process loaders each process holds batch_size/n_procs rows and
+        ``batch.valid`` carries the global valid count."""
+        global_valid = batch.valid
+        batch, valid = _pad_batch(batch, batch_size // self.n_procs)
+        if global_valid is not None:
+            valid = global_valid
         if self.input_pipeline is not None:
             d = {
                 "raw": np.asarray(batch.x),  # (B, C, L) raw clips
@@ -131,15 +141,20 @@ class Trainer:
                 "supports": None if batch.supports is None
                 else np.asarray(batch.supports),
             }
+        # padded rows are masked out of the loss (reference trains on natural
+        # partial batches, train.py:236-275)
+        d["valid"] = np.asarray(valid, np.int32)
         return d, valid, batch.names
 
     def _device_batch(self, batch, batch_size: int):
         d, valid, names = self._host_batch(batch, batch_size)
-        d = {k: None if v is None else jnp.asarray(v) for k, v in d.items()}
         if self.mesh is not None:
             from eeg_gnn_tpu.train.step import shard_batch
 
             d = shard_batch(d, self.mesh)
+        else:
+            d = {k: None if v is None else jnp.asarray(v)
+                 for k, v in d.items()}
         return d, valid, names
 
     def _stacked_device_batches(self, batches, batch_size: int):
@@ -267,8 +282,19 @@ class Trainer:
         for batch in self.loaders[split]:
             dbatch, valid, names = self._device_batch(batch, cfg.test_batch_size)
             loss, logits = self.eval_step(params, model_state, dbatch)
+            if self.n_procs > 1:
+                # logits are batch-sharded across processes; metrics are
+                # computed on the gathered global rows (identical everywhere)
+                from jax.experimental import multihost_utils
+
+                from eeg_gnn_tpu.parallel.distributed import all_gather_host
+
+                logits = multihost_utils.process_allgather(logits, tiled=True)
+                y_host = all_gather_host(np.asarray(batch.y))
+            else:
+                y_host = np.asarray(batch.y)
             logits = np.asarray(logits)[:valid]
-            y = np.asarray(batch.y).reshape(-1)[:valid]
+            y = y_host.reshape(-1)[:valid]
             if cfg.num_classes == 1:
                 prob = 1.0 / (1.0 + np.exp(-logits.reshape(-1)))
                 pred = (prob > best_thresh).astype(int)

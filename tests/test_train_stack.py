@@ -271,3 +271,69 @@ def test_trainer_fused_steps_e2e(tmp_path):
         "--save_dir", os.path.join(root, "save"),
     ])
     assert np.isfinite(res["loss"])
+
+
+def test_padded_batch_loss_and_grads_match_unpadded(rng):
+    """A partial batch padded to the fixed step shape must give the same loss
+    and gradients as the natural unpadded computation (VERDICT r1 #3; the
+    reference trains on natural partial batches, train.py:236-275)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.train.losses import (
+        bce_with_logits,
+        compute_regression_loss,
+        cross_entropy,
+    )
+
+    valid, padded = 5, 8
+
+    # detection: BCE over logits produced by a toy linear model
+    w = jnp.asarray(rng.randn(7).astype(np.float32))
+    x = jnp.asarray(rng.randn(valid, 7).astype(np.float32))
+    y = jnp.asarray((rng.rand(valid) > 0.5).astype(np.float32))
+    x_pad = jnp.concatenate([x, jnp.repeat(x[:1], padded - valid, 0)])
+    y_pad = jnp.concatenate([y, jnp.repeat(y[:1], padded - valid, 0)])
+
+    def loss_unpadded(w):
+        return bce_with_logits(x @ w, y)
+
+    def loss_padded(w):
+        return bce_with_logits(x_pad @ w, y_pad, valid=jnp.int32(valid))
+
+    l0, g0 = jax.value_and_grad(loss_unpadded)(w)
+    l1, g1 = jax.value_and_grad(loss_padded)(w)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5,
+                               atol=1e-7)
+
+    # classification: CE
+    wc = jnp.asarray(rng.randn(7, 4).astype(np.float32))
+    yc = jnp.asarray(rng.randint(0, 4, size=(valid,)))
+    yc_pad = jnp.concatenate([yc, jnp.repeat(yc[:1], padded - valid, 0)])
+
+    def ce_unpadded(wc):
+        return cross_entropy(x @ wc, yc)
+
+    def ce_padded(wc):
+        return cross_entropy(x_pad @ wc, yc_pad, valid=jnp.int32(valid))
+
+    l0, g0 = jax.value_and_grad(ce_unpadded)(wc)
+    l1, g1 = jax.value_and_grad(ce_padded)(wc)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5,
+                               atol=1e-7)
+
+    # SSL: masked regression (both MAE and the RMSE branch)
+    yt = rng.randn(valid, 6, 3).astype(np.float32)
+    yt[0, :2] = 0.0  # value-masked region
+    yp = rng.randn(valid, 6, 3).astype(np.float32)
+    yt_pad = np.concatenate([yt, np.repeat(yt[:1], padded - valid, 0)])
+    yp_pad = np.concatenate([yp, np.repeat(yp[:1], padded - valid, 0)])
+    for name in ("mae", "MAE"):
+        ref = float(compute_regression_loss(yt, yp, mean=1.5, std=2.5,
+                                            loss_fn=name))
+        got = float(compute_regression_loss(yt_pad, yp_pad, mean=1.5,
+                                            std=2.5, loss_fn=name,
+                                            valid=jnp.int32(valid)))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
