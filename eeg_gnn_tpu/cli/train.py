@@ -31,8 +31,14 @@ def main(argv=None):
 
     import jax
 
+    from eeg_gnn_tpu.parallel import distributed
     from eeg_gnn_tpu.utils.jax_setup import enable_compilation_cache
 
+    # Multi-host runtime: no-op single-process; with JAX_COORDINATOR_ADDRESS
+    # / JAX_NUM_PROCESSES / JAX_PROCESS_ID set (or on a Cloud TPU pod), the
+    # mesh below spans every process's devices and the data loaders shard
+    # per process (SURVEY.md §2.8).
+    distributed.initialize()
     enable_compilation_cache()
 
     from eeg_gnn_tpu.data.datasets import (
@@ -119,8 +125,18 @@ def main(argv=None):
     import math
 
     n_dev = len(jax.devices())
-    dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size), cfg.test_batch_size)
-    mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
+    if jax.process_count() > 1:
+        # multi-host meshes must span every process's devices
+        for bs in (cfg.train_batch_size, cfg.test_batch_size):
+            if bs % n_dev:
+                raise ValueError(
+                    f"batch size {bs} must divide the {n_dev} global devices "
+                    "for multi-host training")
+        mesh = make_mesh(f"data:{n_dev}")
+    else:
+        dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size),
+                      cfg.test_batch_size)
+        mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
                              mesh=mesh, input_pipeline=input_pipeline)
     with open(os.path.join(save_dir, "results.json"), "w") as f:

@@ -408,6 +408,12 @@ class RawSSLDataset(SSLDataset):
 
 
 def _make_loaders(dataset_fn, train_batch_size, test_batch_size, num_workers):
+    # Multi-host: each process materializes only its slice of every global
+    # batch (identical seeded shuffles across processes make this a true
+    # partition; see parallel/distributed.py).
+    from eeg_gnn_tpu.parallel.distributed import process_shard
+
+    shard = process_shard()
     dataloaders, datasets = {}, {}
     for split in ["train", "dev", "test"]:
         ds = dataset_fn(split)
@@ -417,6 +423,7 @@ def _make_loaders(dataset_fn, train_batch_size, test_batch_size, num_workers):
             batch_size=train_batch_size if is_train else test_batch_size,
             shuffle=is_train,
             num_workers=num_workers,
+            process_shard=shard,
         )
         datasets[split] = ds
     return dataloaders, datasets

@@ -25,6 +25,8 @@ class Batch:
     supports: Optional[np.ndarray]  # (S, B, N, N) stacked, or None
     adj: Optional[np.ndarray]  # (B, N, N) or None
     names: List[str]
+    valid: Optional[int] = None  # GLOBAL valid rows (multi-process loaders:
+    # this process holds only its slice; padding rows sit at the global end)
 
     def __len__(self):
         return self.x.shape[0]
@@ -57,7 +59,15 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 2, drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, process_shard=None):
+        """``process_shard=(rank, count)`` enables multi-process data
+        sharding: ``batch_size`` stays the GLOBAL batch size, the seeded
+        shuffle is identical on every process (same ``seed`` required), and
+        each process materializes only its contiguous row slice of every
+        global batch (partial last batches are padded at the global end by
+        repeating the batch's first sample; ``Batch.valid`` carries the
+        global valid count for loss masking). Row layout matches
+        ``parallel.distributed.process_batch_slice``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +75,13 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch_rng = np.random.RandomState(seed)
+        self.process_shard = process_shard
+        if process_shard is not None:
+            rank, count = process_shard
+            if batch_size % count:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{count} processes")
 
     def __len__(self):
         n = len(self.dataset)
@@ -73,6 +90,7 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self):
+        """List of (local_index_array, global_valid_or_None) per batch."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._epoch_rng.shuffle(idx)
@@ -82,13 +100,29 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return batches
+        if self.process_shard is None:
+            return [(b, None) for b in batches]
+        rank, count = self.process_shard
+        out = []
+        for b in batches:
+            valid = len(b)
+            if valid != self.batch_size:  # pad global tail with sample 0
+                b = np.concatenate(
+                    [b, np.repeat(b[:1], self.batch_size - valid)])
+            per = self.batch_size // count
+            out.append((b[rank * per:(rank + 1) * per], valid))
+        return out
+
+    def _collate(self, b, valid):
+        batch = collate([self.dataset[int(i)] for i in b])
+        batch.valid = valid
+        return batch
 
     def __iter__(self):
         batches = self._batch_indices()
         if self.num_workers <= 1 or len(batches) <= 1:
-            for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
+            for b, valid in batches:
+                yield self._collate(b, valid)
             return
 
         task_q: "queue.Queue" = queue.Queue()
@@ -103,12 +137,12 @@ class DataLoader:
             while True:
                 slots.acquire()
                 try:
-                    pos, b = task_q.get_nowait()
+                    pos, (b, valid) = task_q.get_nowait()
                 except queue.Empty:
                     slots.release()
                     return
                 try:
-                    batch = collate([self.dataset[int(i)] for i in b])
+                    batch = self._collate(b, valid)
                 except Exception as e:  # surface in main thread
                     batch = e
                 with ready_cv:

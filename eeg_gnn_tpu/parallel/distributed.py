@@ -1,11 +1,20 @@
-"""Multi-host runtime initialization.
+"""Multi-host runtime initialization and per-process data sharding.
 
 The reference has no distributed support (SURVEY.md §2.7). Here multi-host
 training uses the standard JAX runtime: every host process calls
 :func:`initialize` before touching devices; the global mesh then spans all
 hosts' chips, XLA collectives ride ICI within a slice and DCN across
-slices, and the data pipeline shards per-process via
-:func:`process_batch_slice`.
+slices; each process's data loader materializes only its
+:func:`process_batch_slice` of every global batch (the loaders' seeded
+shuffles are identical across processes, so slicing the same global index
+order is a true partition); and :func:`form_global_array` assembles the
+per-process host shards into one global jax.Array without any host
+gather.
+
+Wired end-to-end in ``cli/train.py`` (initialize + sharded loaders) and
+``train/trainer.py`` (global batch formation, cross-process eval gather).
+Tested by ``tests/test_multiprocess.py`` with two real ``jax.distributed``
+processes on localhost (CPU collectives ride Gloo).
 """
 
 from __future__ import annotations
@@ -43,8 +52,47 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def process_batch_slice(global_batch_size: int):
-    """(start, size) of this process's slice of a globally-sharded batch."""
+    """(start, size) of this process's slice of a globally-sharded batch.
+
+    Row layout matches ``jax.make_array_from_process_local_data`` over a
+    mesh whose devices are ordered by process: process p owns global rows
+    [p*size : (p+1)*size].
+    """
     import jax
 
     per = global_batch_size // jax.process_count()
     return jax.process_index() * per, per
+
+
+def process_shard() -> Optional[tuple]:
+    """(rank, count) for the data loaders, or None when single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return None
+    return jax.process_index(), jax.process_count()
+
+
+def form_global_array(local, sharding):
+    """Assemble this process's host-local numpy rows into a global jax.Array
+    sharded per ``sharding`` (single-process: plain device_put)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def all_gather_host(x):
+    """Gather a per-process host array's rows across processes; returns the
+    concatenated numpy array (identical on every process). No-op for a
+    single process."""
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))\
+        .reshape((-1,) + np.asarray(x).shape[1:])
