@@ -1,0 +1,14 @@
+#!/bin/bash
+# TPU-native recipe of record: dcrnn_classification (mirrors the reference's hyperparameters;
+# see configs/README.md for the required env vars)
+set -e
+python -m eeg_gnn_tpu.cli.train \
+    --input_dir "$INPUT_DIR" \
+    --raw_data_dir "$RAW_DATA_DIR" \
+    --marker_dir "$MARKER_DIR" \
+    --adj_mat_dir "$ADJ_MAT_DIR" \
+    --save_dir "$SAVE_DIR" \
+    --do_train \
+    --use_fft \
+    --data_augment \
+    --model_name dcrnn --task classification --graph_type combined --max_seq_len 60 --num_epochs 60 --metric_name F1 --lr_init 3e-4 --num_rnn_layers 2 --rnn_units 64 --max_diffusion_step 2 --num_classes 4 --dropout 0.5
