@@ -21,8 +21,9 @@ import time
 
 import numpy as np
 
-BATCH = 128  # measured-best on v5e (benchmarks/batch_sweep_results.json):
-# B=128 8.1k clips/s vs B=64 8.0k; B>=256 regresses (superlinear step time)
+BATCH = 128  # measured-best on v5e (benchmarks/batch_sweep_results.json,
+# round-2 grouped-compact kernel): step time is linear in B; bf16 B=128 is
+# the throughput point of record (11.2k clips/s vs 8.9k f32)
 T = 60
 N_NODES = 19
 INPUT_DIM = 100
@@ -42,8 +43,8 @@ def _flagship_batch(batch):
     return x, y, lengths, adj
 
 
-def bench_ours(batch=BATCH, iters=100, warmup=10, dtype="float32",
-               batch_tile=16) -> float:
+def bench_ours(batch=BATCH, iters=100, warmup=10, dtype="bfloat16",
+               batch_tile=32) -> float:
     import jax
     import jax.numpy as jnp
 

@@ -72,7 +72,7 @@ class ExperimentConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
     recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
-    batch_tile: int = 16  # clips per block-diagonal operator in the Pallas
+    batch_tile: int = 32  # clips per grid step in the Pallas whole-sequence
     # whole-sequence recurrence kernels (perf knob; VMEM-bounded)
 
     # Derived

@@ -56,9 +56,9 @@ class DCGRUConfig:
     # hand-written BPTT (ops/recurrent.py) — fewer/larger ops per scan step;
     # 'pallas': whole-sequence Mosaic kernels (ops/pallas_recurrent.py),
     # TPU only — silently falls back to 'stacked' on other backends
-    batch_tile: int = 16  # clips packed per block-diagonal operator in the
-    # whole-sequence Pallas kernels (VMEM for the operator block grows as
-    # num_matrices * (tile*N)^2 * 4B — tile 32 with N=19, M=5 is ~7 MB)
+    batch_tile: int = 32  # clips per grid step in the whole-sequence Pallas
+    # kernels (measured best; auto-clamped to the VMEM budget and rounded to
+    # a group multiple in ops/pallas_recurrent._prep)
 
     @property
     def num_matrices(self) -> int:
@@ -190,14 +190,20 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
 
     # Hoisted: diffuse inputs for all T at once, then one (T*B*N, Din*M) x
     # (Din*M, 3H) GEMM for the input contribution to gate and candidate.
-    x_feat = _flat(chebyshev_diffusion(supports, x_seq, k))  # (T,B,N,Din*M)
+    bf16 = cfg.compute_dtype == "bfloat16"
     wx = jnp.concatenate([wx_gate, wx_cand], axis=1)  # (Din*M, 3H)
-    if cfg.compute_dtype == "bfloat16":
-        # bf16 MXU path for the FLOPs-dominant GEMM; f32 accumulation
-        x_proj = jnp.matmul(x_feat.astype(jnp.bfloat16),
-                            wx.astype(jnp.bfloat16),
+    if bf16:
+        # bf16 end to end through the hoisted path: the diffused feature
+        # stack (the largest intermediate, O(T*B*N*Din*M)) materializes in
+        # bf16 and the FLOPs-dominant GEMM runs bf16 on the MXU with f32
+        # accumulation; gate_x/cand_x then stream to the recurrence in bf16.
+        x_feat = _flat(chebyshev_diffusion(
+            supports.astype(jnp.bfloat16), x_seq.astype(jnp.bfloat16), k))
+        x_proj = jnp.matmul(x_feat, wx.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
+        x_proj = x_proj.astype(jnp.bfloat16)
     else:
+        x_feat = _flat(chebyshev_diffusion(supports, x_seq, k))
         x_proj = jnp.matmul(x_feat, wx)
     gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
 
@@ -213,12 +219,12 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         )
 
         m = cfg.num_matrices
-        a_ops = chebyshev_operators(supports, k)
+        a_ops = chebyshev_operators(
+            supports.astype(jnp.float32) if bf16 else supports, k)
         if a_ops.ndim == 3:  # shared (N, N) graph: broadcast batch dim
             a_ops = a_ops[:, None]
         a_ops = jax.lax.stop_gradient(a_ops)
-        args = (
-            a_ops, gate_x.astype(jnp.float32), cand_x.astype(jnp.float32),
+        wh_args = (
             rearrange_hidden_weight(wh_gate, h_units, m),
             rearrange_hidden_weight(wh_cand, h_units, m),
             params["gate_b"], params["cand_b"], h0,
@@ -228,10 +234,16 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
                 dcgru_layer_recurrence_pallas,
             )
 
+            # bf16 gate_x/cand_x stream straight into the kernel (inputs +
+            # ru/c residuals at half HBM); state and accumulation stay f32.
             h_last, h_seq = dcgru_layer_recurrence_pallas(
-                *args, cfg.activation, cfg.batch_tile)
+                a_ops, gate_x, cand_x, *wh_args, cfg.activation,
+                cfg.batch_tile, False,
+                "bfloat16" if bf16 else "float32")
         else:
-            h_last, h_seq = dcgru_layer_recurrence(*args, cfg.activation)
+            h_last, h_seq = dcgru_layer_recurrence(
+                a_ops, gate_x.astype(jnp.float32),
+                cand_x.astype(jnp.float32), *wh_args, cfg.activation)
         return h_last, h_seq
 
     if cfg.use_pallas and supports.ndim == 4:
@@ -283,7 +295,7 @@ def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
                     use_pallas=False, scan_unroll=1,
                     compute_dtype="float32", recurrence="pallas",
-                    batch_tile=16):
+                    batch_tile=32):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,

@@ -45,7 +45,7 @@ class DCRNNConfig:
     scan_unroll: int = 1
     compute_dtype: str = "float32"
     recurrence: str = "pallas"
-    batch_tile: int = 16  # Pallas whole-sequence kernel clip-packing tile
+    batch_tile: int = 32  # Pallas whole-sequence kernel clip-packing tile
 
     def encoder_cfgs(self):
         return encoder_configs(

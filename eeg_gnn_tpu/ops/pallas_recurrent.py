@@ -138,6 +138,21 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     np_ = -(-n // 8) * 8
     shared = a_ops.shape[1] == 1
     tb = _legal_tile(batch_tile, b)
+    # VMEM cap: the bwd kernel is the high-water mark — double-buffered
+    # operator blocks + four input/two output streams + five scratches.
+    # Per row (of TB*Np): 16*M*J*Np (a_c + a_t, 2 buffers each; shared
+    # stacks are O(1) and skip this term) + 64*H (streams) + 4*(3M+2)*H
+    # (scratches). Shrink the tile until the estimate fits in ~12 MB
+    # (16 MB VMEM minus headroom) — tile 64 with M=3, H=64 overflows,
+    # the measured cause of round 1's batch_tile 32/64 compile failures.
+    h_units_est = gate_x.shape[-1] // 2
+    j_est = max(1, 128 // np_)
+    per_row = ((0 if shared else 16 * m * j_est * np_)
+               + 64 * h_units_est + 4 * (3 * m + 2) * h_units_est)
+    tb_cap = max(1, int(12e6 / per_row) // np_)
+    tb = min(tb, tb_cap)
+    if tb > j_est:  # keep the tile a group multiple for full-width dots
+        tb = (tb // j_est) * j_est
     j = _group_size(tb, np_)
     g = -(-b // tb)
     bp = g * tb
@@ -201,7 +216,7 @@ def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
                     f[mi * gr:(mi + 1) * gr]
 
     diffuse(h)
-    gate = gx_ref[0] + bg_ref[:]
+    gate = gx_ref[0].astype(jnp.float32) + bg_ref[:]
     for mi in range(m):
         gate = gate + _dot(feats_scr[mi],
                            wg_ref[mi * h_units:(mi + 1) * h_units])
@@ -209,7 +224,7 @@ def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
     r, u = ru[:, :h_units], ru[:, h_units:]
 
     diffuse(r * h)
-    cand = cx_ref[0] + bc_ref[:]
+    cand = cx_ref[0].astype(jnp.float32) + bc_ref[:]
     for mi in range(m):
         cand = cand + _dot(feats_scr[mi],
                            wc_ref[mi * h_units:(mi + 1) * h_units])
@@ -476,11 +491,12 @@ def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
             dbc.reshape(-1), dh0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
                                   cand_b, h0, activation: str = "tanh",
                                   batch_tile: int = 16,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  residual_dtype: str = "float32"):
     """Whole-sequence DCGRU layer recurrence as two Pallas kernels.
 
     Same contract as :func:`eeg_gnn_tpu.ops.recurrent.dcgru_layer_recurrence`
@@ -488,27 +504,31 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
     ``batch_tile`` clips are processed per grid step with compact per-clip
     operator slabs (a single shared slab when the stack is batch-broadcast).
     ``interpret=True`` runs the Mosaic interpreter (CPU tests).
+    ``residual_dtype="bfloat16"`` halves the HBM traffic of the saved ru/c
+    residuals (and the gate_x/cand_x streams when those arrive as bf16) at
+    ~1e-3 gradient noise — the kernel state and all accumulation stay f32.
     """
     h_seq, _ = _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b,
-                        h0, activation, batch_tile, interpret)
+                        h0, activation, batch_tile, interpret,
+                        residual_dtype)
     return h_seq[-1], h_seq
 
 
 def _vjp_fwd(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
-             activation, batch_tile, interpret):
+             activation, batch_tile, interpret, residual_dtype):
     h_seq, (a_c, a_t, h_seq_flat, ru_seq, c_seq, shared, dims) = _forward(
         a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0, activation,
-        batch_tile, interpret)
+        batch_tile, interpret, residual_dtype)
     t, b, n, np_, tb, g, j = dims
     rows = tb * np_
     h0p = _pad_axis(_pad_axis(h0, 0, g * tb), 1, np_)
     res = (a_c, a_t, wg_r, wc_r, h0p.reshape(g, rows, -1), h_seq_flat,
-           ru_seq, c_seq, a_ops.shape, shared, dims)
+           ru_seq, c_seq, shared, dims)
     return (h_seq[-1], h_seq), res
 
 
-def _vjp_bwd(activation, batch_tile, interpret, res, grads):
-    (a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, a_shape, shared,
+def _vjp_bwd(activation, batch_tile, interpret, residual_dtype, res, grads):
+    (a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, shared,
      dims) = res
     t, b, n, np_, tb, g, j = dims
     d_last, d_seq = grads
@@ -522,9 +542,12 @@ def _vjp_bwd(activation, batch_tile, interpret, res, grads):
     dgx, dcx, dwg, dwc, dbg, dbc, dh0 = _backward(
         a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat,
         activation, interpret, shared, dims)
-    # a_ops gradient intentionally zero (supports are data, never trained)
-    da = jnp.zeros(a_shape, dgx.dtype)
-    return (da, dgx, dcx, dwg, dwc, dbg, dbc, dh0)
+    # a_ops gradient intentionally zero (supports are data, never trained);
+    # cotangent dtypes/shapes must match the (possibly bf16) primal streams
+    m = wg_r.shape[0]
+    da = jnp.zeros((m, 1 if shared else b, n, n), jnp.float32)
+    io = jnp.dtype(residual_dtype)
+    return (da, dgx.astype(io), dcx.astype(io), dwg, dwc, dbg, dbc, dh0)
 
 
 dcgru_layer_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)

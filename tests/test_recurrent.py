@@ -188,3 +188,54 @@ def test_pallas_tile_legalization():
     assert _legal_tile(16, 8, n) == 8      # capped at batch
     # an even node count relaxes the divisibility requirement
     assert _legal_tile(4, 64, 16) == 4     # 64 % 8 == 0
+
+
+def test_pallas_recurrence_bf16_streams(rng):
+    """bf16 gate_x/cand_x streams + bf16 ru/c residuals (compute_dtype
+    bfloat16 path): forward and grads track the f32 stacked oracle within
+    bf16 tolerance; cotangent dtypes match the primal streams."""
+    from eeg_gnn_tpu.ops.pallas_recurrent import dcgru_layer_recurrence_pallas
+    from eeg_gnn_tpu.ops.recurrent import (
+        chebyshev_operators,
+        dcgru_layer_recurrence,
+    )
+
+    t, b, n, h, k = 5, 4, 19, 16, 2
+    m = k + 1
+    sup = jnp.asarray(np.abs(rng.randn(1, b, n, n)) / n, jnp.float32)
+    a = chebyshev_operators(sup, k)
+    gx = jnp.asarray(rng.randn(t, b, n, 2 * h), jnp.float32)
+    cx = jnp.asarray(rng.randn(t, b, n, h), jnp.float32)
+    wg = jnp.asarray(rng.randn(m, h, 2 * h) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.randn(m, h, h) * 0.1, jnp.float32)
+    bg = jnp.zeros(2 * h)
+    bc = jnp.zeros(h)
+    h0 = jnp.zeros((b, n, h))
+
+    _, hs_ref = dcgru_layer_recurrence(a, gx, cx, wg, wc, bg, bc, h0, "tanh")
+
+    gx16, cx16 = gx.astype(jnp.bfloat16), cx.astype(jnp.bfloat16)
+    _, hs_16 = dcgru_layer_recurrence_pallas(
+        a, gx16, cx16, wg, wc, bg, bc, h0, "tanh", 2, True, "bfloat16")
+    assert hs_16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(hs_16), np.asarray(hs_ref),
+                               rtol=0.05, atol=0.05)
+
+    def loss16(args):
+        gx_, cx_, wg_ = args
+        hl, hs = dcgru_layer_recurrence_pallas(
+            a, gx_, cx_, wg_, wc, bg, bc, h0, "tanh", 2, True, "bfloat16")
+        return jnp.sum(hl) + jnp.sum(hs)
+
+    g16 = jax.grad(loss16)((gx16, cx16, wg))
+    assert g16[0].dtype == jnp.bfloat16 and g16[1].dtype == jnp.bfloat16
+    assert g16[2].dtype == jnp.float32
+
+    def loss_ref(wg_):
+        hl, hs = dcgru_layer_recurrence(a, gx, cx, wg_, wc, bg, bc, h0,
+                                        "tanh")
+        return jnp.sum(hl) + jnp.sum(hs)
+
+    gref = jax.grad(loss_ref)(wg)
+    np.testing.assert_allclose(np.asarray(g16[2]), np.asarray(gref),
+                               rtol=0.1, atol=0.3)
