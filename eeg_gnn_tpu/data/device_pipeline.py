@@ -6,7 +6,7 @@ the CPU-bound hot loop (SURVEY.md §3.6 #2). Here hosts only read + slice
 raw clips; everything else runs *inside the jitted train step* on device:
 
     raw (B, C, L) --> windows/FFT --> reflect+scale augment --> z-score
-                  \-> correlation Gram -> top-k -> random-walk supports
+                   -> correlation Gram -> top-k -> random-walk supports
                       (or per-sample choice of the two distance-graph
                        support variants under reflection)
 

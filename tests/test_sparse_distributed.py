@@ -115,3 +115,101 @@ def test_edge_partitioned_spmm_jit_grad(rng):
     gv, gx = jax.grad(loss, argnums=(0, 1))(g_sh.values, x_sh)
     assert np.isfinite(np.asarray(gv)).all()
     assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_sparse_encoder_matches_dense(rng):
+    """The distributed-SpMM DCGRU encoder (parallel/sparse_model.py) equals
+    the dense encoder on the same block-diagonal clip graphs, on the
+    8-device virtual mesh (VERDICT r1 #6)."""
+    from eeg_gnn_tpu.graphs import compute_supports_jnp
+    from eeg_gnn_tpu.graphs.sparse import from_dense_batch
+    from eeg_gnn_tpu.models.dcgru import (
+        encoder_apply,
+        encoder_configs,
+        encoder_init,
+    )
+    from eeg_gnn_tpu.parallel.sparse_model import sparse_encoder_apply
+
+    t, b, n, din, h, k = 4, 8, 19, 12, 16, 2
+    cfgs = encoder_configs(din, h, k, n, 1, 2, recurrence="naive")
+    params = encoder_init(jax.random.PRNGKey(0), cfgs)
+    x_seq = jnp.asarray(rng.randn(t, b, n, din), jnp.float32)
+    adj = jnp.asarray(np.abs(rng.rand(b, n, n)), jnp.float32)
+    sup = compute_supports_jnp(adj, "laplacian")  # (1, B, N, N)
+
+    stack_d, seq_d = encoder_apply(cfgs, params, sup, x_seq)
+
+    mesh = make_mesh("graph:8")
+    sgraph = from_dense_batch(np.asarray(sup[0]))  # block-diag over B*N
+    stack_s, seq_s = sparse_encoder_apply(cfgs, params, mesh, sgraph, x_seq)
+
+    np.testing.assert_allclose(np.asarray(stack_s), np.asarray(stack_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(seq_s), np.asarray(seq_d),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sparse_distributed_train_step(rng):
+    """One end-to-end train step through the edge-partitioned SpMM on the
+    8-device mesh: loss finite, params move, and the gradients match the
+    dense path from identical weights."""
+    import optax
+
+    from eeg_gnn_tpu.graphs import compute_supports_jnp
+    from eeg_gnn_tpu.graphs.sparse import from_dense_batch
+    from eeg_gnn_tpu.models.dcgru import encoder_configs, encoder_init
+    from eeg_gnn_tpu.parallel.sparse_model import make_sparse_train_step
+    from eeg_gnn_tpu.train.optim import make_optimizer
+
+    t, b, n, din, h, k = 4, 8, 19, 12, 16, 1
+    cfgs = encoder_configs(din, h, k, n, 1, 1, recurrence="naive")
+    key = jax.random.PRNGKey(1)
+    bound = 1.0 / np.sqrt(h)
+    params = {
+        "encoder": encoder_init(key, cfgs),
+        "fc_w": jax.random.uniform(key, (1, h), jnp.float32, -bound, bound),
+        "fc_b": jnp.zeros((1,)),
+    }
+    x_seq = jnp.asarray(rng.randn(t, b, n, din), jnp.float32)
+    y = jnp.asarray((rng.rand(b) > 0.5).astype(np.float32))
+    adj = jnp.asarray(np.abs(rng.rand(b, n, n)), jnp.float32)
+    sup = compute_supports_jnp(adj, "laplacian")
+
+    mesh = make_mesh("graph:8")
+    sgraph = from_dense_batch(np.asarray(sup[0]))
+    optimizer = make_optimizer(1e-3, 0.0, 5.0, 10, 10)
+    opt_state = optimizer.init(params)
+    step = make_sparse_train_step(cfgs, optimizer, mesh)
+
+    p1, opt_state, loss = step(params, opt_state, sgraph, x_seq, y)
+    assert np.isfinite(float(loss))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(bb))
+        for a, bb in zip(jax.tree.leaves(params), jax.tree.leaves(p1)))
+    assert moved
+
+    # dense-path gradient oracle (same math, no mesh)
+    from eeg_gnn_tpu.models.dcgru import encoder_apply
+    from eeg_gnn_tpu.train.losses import bce_with_logits
+
+    def dense_loss(params):
+        _, top = encoder_apply(cfgs, params["encoder"], sup, x_seq)
+        hidden = jax.nn.relu(top[-1])
+        logits = jnp.max(hidden @ params["fc_w"].T + params["fc_b"], axis=1)
+        return bce_with_logits(logits, y)
+
+    from eeg_gnn_tpu.parallel.sparse_model import sparse_encoder_apply
+    from eeg_gnn_tpu.train.losses import bce_with_logits as bce
+
+    def sparse_loss(params):
+        _, top = sparse_encoder_apply(cfgs, params["encoder"], mesh, sgraph,
+                                      x_seq)
+        hidden = jax.nn.relu(top[-1])
+        logits = jnp.max(hidden @ params["fc_w"].T + params["fc_b"], axis=1)
+        return bce(logits, y)
+
+    gd = jax.grad(dense_loss)(params)
+    gs = jax.grad(sparse_loss)(params)
+    for a, bb in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-3, atol=1e-5)
