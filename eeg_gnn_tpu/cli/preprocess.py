@@ -173,8 +173,31 @@ def main(argv=None):
         pc.add_argument("--no_fft", dest="use_fft", action="store_false",
                         default=True)
 
+    # distance-graph regeneration: the counterpart of the reference notebook
+    # data/electrode_graph/generate_adj_mx.ipynb (cell 4) that produced the
+    # shipped adj_mx_3d.pkl — rebuild it from a from,to,distance CSV.
+    pg = sub.add_parser("graph")
+    pg.add_argument("--distances_csv", required=True,
+                    help="3-D electrode pairwise distances (from,to,distance)")
+    pg.add_argument("--output_pkl", required=True,
+                    help="Where to write [channels, name->idx, adj] pickle")
+    pg.add_argument("--dist_k", type=float, default=0.9,
+                    help="Distance threshold (reference default 0.9)")
+
     ns = p.parse_args(argv)
-    if ns.cmd == "resample":
+    if ns.cmd == "graph":
+        import pickle
+
+        from eeg_gnn_tpu.constants import INCLUDED_CHANNELS
+        from eeg_gnn_tpu.graphs.distance import build_distance_adjacency
+
+        adj, idx = build_distance_adjacency(ns.distances_csv,
+                                            dist_k=ns.dist_k)
+        with open(ns.output_pkl, "wb") as f:
+            pickle.dump([list(INCLUDED_CHANNELS), idx,
+                         adj.astype(np.float32)], f)
+        print(f"DONE. {int((adj > 0).sum())} nonzeros -> {ns.output_pkl}")
+    elif ns.cmd == "resample":
         failed = resample_all(ns.raw_edf_dir, ns.save_dir)
         print(f"DONE. {len(failed)} failed files.")
     elif ns.cmd == "detection":

@@ -194,3 +194,31 @@ def test_correlation_adjacency_zero_channel(rng):
     np.testing.assert_allclose(host[7, :7], 0.0, atol=1e-12)
     # f32 Gram accumulation with heavy cancellation near zero-correlation
     np.testing.assert_allclose(dev, host, rtol=2e-3, atol=1e-3)
+
+
+def test_graph_cli_regenerates_shipped_pickle(tmp_path):
+    """`cli.preprocess graph` rebuilds adj_mx_3d.pkl from distances_3d.csv
+    exactly (counterpart of the reference's generate_adj_mx.ipynb cell 4)."""
+    import os
+    import pickle
+
+    import pytest
+
+    csv_path = "/root/reference/data/electrode_graph/distances_3d.csv"
+    pkl_path = "/root/reference/data/electrode_graph/adj_mx_3d.pkl"
+    if not (os.path.exists(csv_path) and os.path.exists(pkl_path)):
+        pytest.skip("no reference mount")
+
+    from eeg_gnn_tpu.cli.preprocess import main
+
+    out = str(tmp_path / "adj_mx_3d.pkl")
+    main(["graph", "--distances_csv", csv_path, "--output_pkl", out])
+
+    with open(out, "rb") as f:
+        ours = pickle.load(f)
+    with open(pkl_path, "rb") as f:
+        theirs = pickle.load(f)
+    assert ours[0] == list(theirs[0])
+    assert ours[1] == dict(theirs[1])
+    np.testing.assert_allclose(ours[2], np.asarray(theirs[2], np.float32),
+                               rtol=1e-6, atol=1e-7)
