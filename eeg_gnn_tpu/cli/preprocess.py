@@ -154,6 +154,43 @@ def preprocess_classification(resampled_dir, raw_data_dir, marker_dir,
         print(f"cached {split}: {len(rows)} clips")
 
 
+def preprocess_ssl(resampled_dir, marker_dir, output_dir, clip_len,
+                   time_step_size=1, use_fft=True):
+    """AOT cache of SSL clips: one ``{clip}`` h5 per unique clip named in
+    the consecutive-pair markers ``{split}Set_seq2seq_{clip_len}s.txt``.
+
+    The SSL loader consumes these via ``--preproc_dir`` exactly like the
+    reference (``dataloader_ssl.py:312-315`` reads ``hf['clip']`` for both
+    clips of the pair); the clip math is the SSL ``computeSliceMatrix``
+    (``dataloader_ssl.py:24-82`` — fixed window, no label).
+    """
+    import h5py
+
+    from eeg_gnn_tpu.data.clips import slice_ssl_clip
+    from eeg_gnn_tpu.data.markers import parse_ssl_markers
+
+    os.makedirs(output_dir, exist_ok=True)
+    for split in ("train", "dev", "test"):
+        marker = os.path.join(
+            marker_dir, f"{split}Set_seq2seq_{clip_len}s.txt")
+        if not os.path.exists(marker):
+            continue
+        clip_names = sorted({name for pair in parse_ssl_markers(marker)
+                             for name in pair})
+        for h5_fn in clip_names:
+            out = os.path.join(output_dir, h5_fn)
+            if os.path.exists(out):
+                continue
+            clip_idx = int(h5_fn.split("_")[-1].split(".h5")[0])
+            h5_path = os.path.join(
+                resampled_dir, h5_fn.split(".edf")[0] + ".h5")
+            clip = slice_ssl_clip(h5_path, clip_idx, time_step_size,
+                                  clip_len, use_fft)
+            with h5py.File(out, "w") as hf:
+                hf.create_dataset("clip", data=clip)
+        print(f"cached {split}: {len(clip_names)} clips")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("Offline preprocessing for eeg_gnn_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,10 +199,11 @@ def main(argv=None):
     pr.add_argument("--raw_edf_dir", required=True)
     pr.add_argument("--save_dir", required=True)
 
-    for name in ("detection", "classification"):
+    for name in ("detection", "classification", "ssl"):
         pc = sub.add_parser(name)
         pc.add_argument("--resampled_dir", required=True)
-        pc.add_argument("--raw_data_dir", required=True)
+        if name != "ssl":  # SSL clips need no annotations, only markers
+            pc.add_argument("--raw_data_dir", required=True)
         pc.add_argument("--marker_dir", required=True)
         pc.add_argument("--output_dir", required=True)
         pc.add_argument("--clip_len", type=int, default=60)
@@ -204,6 +242,9 @@ def main(argv=None):
         preprocess_detection(ns.resampled_dir, ns.raw_data_dir, ns.marker_dir,
                              ns.output_dir, ns.clip_len, ns.time_step_size,
                              ns.use_fft)
+    elif ns.cmd == "ssl":
+        preprocess_ssl(ns.resampled_dir, ns.marker_dir, ns.output_dir,
+                       ns.clip_len, ns.time_step_size, ns.use_fft)
     else:
         preprocess_classification(ns.resampled_dir, ns.raw_data_dir,
                                   ns.marker_dir, ns.output_dir, ns.clip_len,

@@ -13,7 +13,10 @@ from eeg_gnn_tpu.constants import INCLUDED_CHANNELS
 def get_spectral_graph_positions(adj_pkl_path: str):
     """Node positions from a spectral layout of the shipped distance graph.
 
-    Parity: reference ``get_spectral_graph_positions`` (graph_viz_utils.py:12-34).
+    Parity: reference ``get_spectral_graph_positions`` (graph_viz_utils.py:12-44):
+    self-edges are excluded from the layout graph and the spectral positions
+    are rotated ``(x, y) -> (y, -x)`` to keep the scalp orientation
+    (graph_viz_utils.py:41).
     """
     import networkx as nx
     import pickle
@@ -21,7 +24,6 @@ def get_spectral_graph_positions(adj_pkl_path: str):
     with open(adj_pkl_path, "rb") as f:
         adj_mx_all = pickle.load(f)
     adj_mx = adj_mx_all[-1]
-    node_id_dict = adj_mx_all[1]
 
     eeg_viz = nx.Graph()
     adj_mx = adj_mx[:len(INCLUDED_CHANNELS), :len(INCLUDED_CHANNELS)]
@@ -29,11 +31,10 @@ def get_spectral_graph_positions(adj_pkl_path: str):
         eeg_viz.add_node(i)
     for i in range(adj_mx.shape[0]):
         for j in range(adj_mx.shape[1]):
-            if adj_mx[i, j] > 0:
-                eeg_viz.add_edge(i, j, weight=adj_mx[i, j])
+            if i != j and adj_mx[i, j] > 0:
+                eeg_viz.add_edge(i, j)
     pos = nx.spectral_layout(eeg_viz)
-    pos_spec = {node_id_dict.get(k, i): v for i, (k, v) in enumerate(pos.items())}
-    return pos
+    return {node: (y, -x) for node, (x, y) in pos.items()}
 
 
 def draw_graph_weighted_edge(adj_mx, pos_spec, title="", save_path=None,

@@ -69,6 +69,25 @@ def test_ssl_pretrain_then_finetune(corpus):
     assert np.isfinite(res2["loss"])
 
 
+def test_ssl_from_preproc_cache(corpus):
+    """AOT-cache SSL clips via the preprocess CLI, then train SSL consuming
+    them through --preproc_dir (reference dataloader_ssl.py:312-315)."""
+    from eeg_gnn_tpu.cli.preprocess import main as preprocess_main
+
+    paths, root = corpus
+    cache = os.path.join(root, "ssl_cache")
+    preprocess_main([
+        "ssl", "--resampled_dir", paths["input_dir"],
+        "--marker_dir", paths["marker_dir"], "--output_dir", cache,
+        "--clip_len", "12",
+    ])
+    assert len(os.listdir(cache)) > 0
+    res = _run(corpus, ["--graph_type", "combined", "--output_seq_len", "12",
+                        "--metric_name", "loss", "--preproc_dir", cache],
+               task="SS pre-training")
+    assert np.isfinite(res["loss"])
+
+
 def test_detection_lstm(corpus):
     res = _run(corpus, ["--graph_type", "combined", "--model_name", "lstm"])
     assert np.isfinite(res["loss"])
