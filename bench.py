@@ -147,6 +147,13 @@ def bench_reference(batch=BATCH, iters=3, warmup=1) -> float:
 
 
 def main():
+    # Parity gate first: the compiled Mosaic kernels must match the stacked
+    # XLA path on this chip (fwd + grads) before any number is trusted.
+    # Raises on regression (benchmarks/tpu_kernel_parity.py).
+    from benchmarks.tpu_kernel_parity import check_gate
+
+    check_gate()
+
     ours = bench_ours()
 
     baseline = None

@@ -24,12 +24,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from eeg_gnn_tpu.graphs.sparse import SparseGraph
 from eeg_gnn_tpu.models.dcgru import DCGRUConfig, _activation_fn
-from eeg_gnn_tpu.parallel.edge_partition import edge_partitioned_spmm
+from eeg_gnn_tpu.parallel.edge_partition import (
+    PartitionedGraph,
+    edge_partitioned_spmm,
+)
 
 
-def sparse_chebyshev_diffusion(mesh, sgraph: SparseGraph, x_flat, k: int,
+def sparse_chebyshev_diffusion(mesh, sgraph: PartitionedGraph, x_flat, k: int,
                                axis_name: str = "graph"):
     """K-step Chebyshev diffusion where every S @ x is a distributed SpMM.
 
@@ -55,7 +57,7 @@ def sparse_chebyshev_diffusion(mesh, sgraph: SparseGraph, x_flat, k: int,
     return jnp.stack(feats, axis=-1).reshape(x_flat.shape[0], -1)
 
 
-def sparse_cell_apply(cfg: DCGRUConfig, params, mesh, sgraph: SparseGraph,
+def sparse_cell_apply(cfg: DCGRUConfig, params, mesh, sgraph: PartitionedGraph,
                       x_flat, h_flat, axis_name: str = "graph"):
     """One DCGRU step with distributed sparse diffusion.
 
@@ -77,13 +79,14 @@ def sparse_cell_apply(cfg: DCGRUConfig, params, mesh, sgraph: SparseGraph,
     return u * h_flat + (1.0 - u) * c
 
 
-def sparse_encoder_apply(cfgs, params, mesh, sgraph: SparseGraph, x_seq,
+def sparse_encoder_apply(cfgs, params, mesh, sgraph: PartitionedGraph, x_seq,
                          h0=None, axis_name: str = "graph"):
     """Stacked DCGRU encoder whose diffusion runs on the distributed SpMM.
 
     Args:
         x_seq: (T, B, N, input_dim) time-major input.
-        sgraph: block-diagonal SparseGraph over B*N nodes (single support).
+        sgraph: block-diagonal graph over B*N nodes (single support),
+            pre-partitioned via ``partition_by_dest`` (outside jit).
 
     Returns:
         (hidden_stack (L, B, N, H), top_seq (T, B, N, H)) — same contract

@@ -17,6 +17,7 @@ from eeg_gnn_tpu.graphs.sparse import (
 from eeg_gnn_tpu.graphs import compute_supports
 from eeg_gnn_tpu.parallel.edge_partition import (
     edge_partitioned_spmm,
+    partition_by_dest,
     place_edge_partitioned,
 )
 from eeg_gnn_tpu.parallel.mesh import make_mesh
@@ -76,11 +77,14 @@ def test_topk_padded_sparsification(rng):
         np.testing.assert_allclose(blk.reshape(-1), expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("n_nodes,feat", [(8 * 19 * 2, 16), (64, 128)])
-def test_edge_partitioned_spmm_matches_dense(rng, n_nodes, feat):
+@pytest.mark.parametrize("n_nodes,feat,e", [
+    (8 * 19 * 2, 16, 8 * 64),
+    (64, 128, 8 * 64),
+    (256, 32, 1000),   # N=256 target size, E not divisible by p
+    (250, 16, 777),    # N % p != 0 AND E % p != 0 (padding paths)
+])
+def test_edge_partitioned_spmm_matches_dense(rng, n_nodes, feat, e):
     mesh = make_mesh("graph:8")
-    # random sparse graph with E divisible by 8
-    e = 8 * 64
     rows = rng.randint(0, n_nodes, e).astype(np.int32)
     cols = rng.randint(0, n_nodes, e).astype(np.int32)
     vals = rng.randn(e).astype(np.float32)
@@ -98,6 +102,8 @@ def test_edge_partitioned_spmm_matches_dense(rng, n_nodes, feat):
 
 def test_edge_partitioned_spmm_jit_grad(rng):
     """The distributed SpMM composes with jit and grad (training path)."""
+    import dataclasses
+
     mesh = make_mesh("graph:8")
     n, e, d = 64, 8 * 32, 8
     g = SparseGraph(
@@ -109,7 +115,7 @@ def test_edge_partitioned_spmm_jit_grad(rng):
 
     @jax.jit
     def loss(vals, xx):
-        gg = SparseGraph(g_sh.rows, g_sh.cols, vals, n)
+        gg = dataclasses.replace(g_sh, values=vals)
         return jnp.sum(edge_partitioned_spmm(mesh, gg, xx) ** 2)
 
     gv, gx = jax.grad(loss, argnums=(0, 1))(g_sh.values, x_sh)
@@ -140,7 +146,8 @@ def test_sparse_encoder_matches_dense(rng):
     stack_d, seq_d = encoder_apply(cfgs, params, sup, x_seq)
 
     mesh = make_mesh("graph:8")
-    sgraph = from_dense_batch(np.asarray(sup[0]))  # block-diag over B*N
+    sgraph = partition_by_dest(
+        from_dense_batch(np.asarray(sup[0])), 8)  # block-diag over B*N
     stack_s, seq_s = sparse_encoder_apply(cfgs, params, mesh, sgraph, x_seq)
 
     np.testing.assert_allclose(np.asarray(stack_s), np.asarray(stack_d),
@@ -176,7 +183,7 @@ def test_sparse_distributed_train_step(rng):
     sup = compute_supports_jnp(adj, "laplacian")
 
     mesh = make_mesh("graph:8")
-    sgraph = from_dense_batch(np.asarray(sup[0]))
+    sgraph = partition_by_dest(from_dense_batch(np.asarray(sup[0])), 8)
     optimizer = make_optimizer(1e-3, 0.0, 5.0, 10, 10)
     opt_state = optimizer.init(params)
     step = make_sparse_train_step(cfgs, optimizer, mesh)
