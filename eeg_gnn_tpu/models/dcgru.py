@@ -329,6 +329,26 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
     t, b, n, _ = x_seq.shape
     h_units = cfgs[0].num_units
     dtype = x_seq.dtype
+
+    # Padded fast path: when the stack runs the whole-sequence Pallas
+    # kernels, pad the node axis ONCE (19 -> 24) and keep every inter-layer
+    # tensor in the kernel's padded layout — the per-layer pad/slice pairs
+    # (and their backward mirrors) were ~20% of the measured train step.
+    # Zero rows/cols on padded supports keep padded nodes fully decoupled,
+    # so slicing the final outputs recovers the unpadded math exactly.
+    n_orig = n
+    np_ = -(-n // 8) * 8
+    padded = (np_ != n and cfgs[0].recurrence == "pallas"
+              and not cfgs[0].use_pallas
+              and jax.default_backend() == "tpu")
+    if padded:
+        x_seq = jnp.pad(x_seq, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
+        pads = [(0, 0)] * (supports.ndim - 2) + [(0, np_ - n), (0, np_ - n)]
+        supports = jnp.pad(supports, pads)
+        if h0 is not None:
+            h0 = jnp.pad(h0, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
+        n = np_
+
     cur = x_seq
     lasts = []
     for i, (cfg, p) in enumerate(zip(cfgs, params)):
@@ -337,7 +357,14 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
         )
         h_last, cur = _layer_scan(cfg, p, supports, cur, h_init)
         lasts.append(h_last)
-    return jnp.stack(lasts, axis=0), cur
+    # last-state stack is tiny: keep it in the input dtype so downstream
+    # consumers (SSL decoder state) see unchanged precision even when the
+    # kernel streams h_seq in bf16
+    stack = jnp.stack(lasts, axis=0).astype(dtype)
+    if padded:
+        stack = stack[:, :, :n_orig]
+        cur = cur[:, :, :n_orig]
+    return stack, cur
 
 
 # ---------------------------------------------------------------------------

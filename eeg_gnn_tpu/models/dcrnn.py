@@ -117,8 +117,13 @@ def classification_apply(cfg: DCRNNConfig, params, x_seq, seq_lengths, supports,
     x_tmajor = jnp.swapaxes(x_seq, 0, 1)  # (T, B, N, D)
     _, top_seq = encoder_apply(cfg.encoder_cfgs(), params["encoder"], supports,
                                x_tmajor)
-    output = jnp.swapaxes(top_seq, 0, 1)  # (B, T, N, H)
-    last = last_relevant(output, seq_lengths)  # (B, N, H)
+    # gather the last valid timestep directly in time-major layout (the
+    # (B, T) transpose of the full output sequence — and its backward
+    # scatter-transpose — was pure HBM traffic)
+    idx = (seq_lengths - 1).astype(jnp.int32).reshape(
+        (1, -1) + (1,) * (top_seq.ndim - 2))
+    last = jnp.take_along_axis(top_seq, idx, axis=0)[0]  # (B, N, H)
+    last = last.astype(x_seq.dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     hidden = jax.nn.relu(_dropout(last, cfg.dropout, rng, training))

@@ -46,9 +46,17 @@ axis is untiled; rows are clip-major ``tb*Np + n``):
 
     h, c, cand_x slices:  (TB*Np, H)
     ru, gate_x slices:    (TB*Np, 2H)
-    operators:            (TB * M*Np, Np) fwd / (TB*Np, M*Np) transposed bwd
+    operators:            (TB * M*Np, Np) — ONE stack serves both directions:
+                          the backward's A^T-applies are dot_generals
+                          contracting dim 0 of the same slabs (round-3
+                          change; the round-2 separately-materialized
+                          transposed stack doubled operator VMEM + HBM)
     weights:              (M*H, 2H) / (M*H, H)  (m-major rows)
-    feats scratch:        (M, TB*Np, H)
+    feats scratch:        (TB*Np, M*H) packed m-in-lanes, so the hidden
+                          projections are ONE (rows, M*H) x (M*H, 2H|H) dot
+                          per diffusion (K = M*H = 192: 1.5 MXU K-tiles at
+                          75% tail utilization) instead of M separate
+                          K=64 dots at 50% (round-3 change)
 
 Zero-padding the batch to a tile multiple is safe end-to-end: padded rows
 produce garbage forward activations that are never read, and the backward
@@ -111,25 +119,34 @@ def _group_blockdiag(a, j, np_):
     Per group of J clips the M slabs are stacked vertically, each slab a
     J-clip block diagonal, so ONE (M*J*Np, J*Np) x (J*Np, H) dot diffuses
     the whole group for every Chebyshev order at once.
+
+    Built as a sum of J shifted pads (one elementwise fusion) rather than a
+    chain of dynamic-update-slices — the round-2 ``.at[].set`` chain
+    compiled to J serial full-buffer updates and cost ~0.8 ms/step at
+    B=128 (profiled), dominating the operator prep.
     """
     m, b, _, _ = a.shape
     ng = b // j
+    gr = j * np_
     tiles = a.reshape(m, ng, j, np_, np_)
-    out = jnp.zeros((ng, m, j * np_, j * np_), a.dtype)
+    out = None
     for ji in range(j):
-        out = out.at[:, :, ji * np_:(ji + 1) * np_,
-                     ji * np_:(ji + 1) * np_].set(
-            jnp.transpose(tiles[:, :, ji], (1, 0, 2, 3)))
-    return out
+        blk = jnp.pad(
+            tiles[:, :, ji],
+            ((0, 0), (0, 0),
+             (ji * np_, gr - (ji + 1) * np_),
+             (ji * np_, gr - (ji + 1) * np_)))
+        out = blk if out is None else out + blk
+    return jnp.transpose(out, (1, 0, 2, 3))
 
 
 def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     """Pad batch + nodes, build grouped operator stacks, flatten layouts.
 
-    Returns (a_c, a_t, gx, cx, h0f, shared, dims) where
-      a_c: fwd stack — (M*J*Np, J*Np) if shared else (G, (TB/J)*M*J*Np, J*Np)
-      a_t: bwd transpose — (J*Np, M*J*Np) if shared else
-           (G, TB*Np, M*J*Np)
+    Returns (a_c, gx, cx, h0f, shared, dims) where
+      a_c: operator stack — (M*J*Np, J*Np) if shared else
+           (G, (TB/J)*M*J*Np, J*Np); serves both directions (the backward
+           contracts dim 0 for the A^T applies)
       gx/cx: (T, G*TB*Np, 2H/H); h0f: (G, TB*Np, H)
       dims: (t, b, n, np_, tb, g, j)
     """
@@ -140,14 +157,14 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     tb = _legal_tile(batch_tile, b)
     # VMEM cap: the bwd kernel is the high-water mark — double-buffered
     # operator blocks + four input/two output streams + five scratches.
-    # Per row (of TB*Np): 16*M*J*Np (a_c + a_t, 2 buffers each; shared
-    # stacks are O(1) and skip this term) + 64*H (streams) + 4*(3M+2)*H
-    # (scratches). Shrink the tile until the estimate fits in ~12 MB
-    # (16 MB VMEM minus headroom) — tile 64 with M=3, H=64 overflows,
-    # the measured cause of round 1's batch_tile 32/64 compile failures.
+    # Per row (of TB*Np): 8*M*J*Np (a_c, 2 buffers; shared stacks are O(1)
+    # and skip this term) + 64*H (streams) + 4*(3M+2)*H (scratches).
+    # Shrink the tile until the estimate fits in ~12 MB (16 MB VMEM minus
+    # headroom) — tile 64 with M=3, H=64 overflowed in round 1, the
+    # measured cause of the batch_tile 32/64 compile failures.
     h_units_est = gate_x.shape[-1] // 2
     j_est = max(1, 128 // np_)
-    per_row = ((0 if shared else 16 * m * j_est * np_)
+    per_row = ((0 if shared else 8 * m * j_est * np_)
                + 64 * h_units_est + 4 * (3 * m + 2) * h_units_est)
     tb_cap = max(1, int(12e6 / per_row) // np_)
     tb = min(tb, tb_cap)
@@ -173,21 +190,14 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
         bd = _group_blockdiag(
             jnp.broadcast_to(a_ops[:, 0:1], (m, j, np_, np_)), j, np_)
         a_c = bd.reshape(m * j * np_, j * np_)
-        a_t = jnp.transpose(bd[0], (0, 2, 1)).reshape(
-            m, j * np_, j * np_).transpose(1, 0, 2).reshape(
-            j * np_, m * j * np_)
     else:
         bd = _group_blockdiag(a_ops, j, np_)  # (B/J, M, J*Np, J*Np)
-        ng = bp // j
         a_c = bd.reshape(g, (tb // j) * m * j * np_, j * np_)
-        # transposed horizontal stacks: per group (J*Np, M*J*Np)
-        a_t = jnp.transpose(bd, (0, 3, 1, 2)).reshape(
-            ng, j * np_, m * j * np_).reshape(g, tb * np_, m * j * np_)
 
     gx = gate_x.reshape(t, g * tb * np_, -1)
     cx = cand_x.reshape(t, g * tb * np_, -1)
     h0f = h0.reshape(g, tb * np_, -1)
-    return a_c, a_t, gx, cx, h0f, shared, (t, b, n, np_, tb, g, j)
+    return a_c, gx, cx, h0f, shared, (t, b, n, np_, tb, g, j)
 
 
 def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
@@ -205,39 +215,36 @@ def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
     h = h_scr[:]
 
     def diffuse(x2d):
-        """Per-group (M*J*Np, J*Np) x (J*Np, H) dots -> feats_scr."""
+        """Per-group (M*J*Np, J*Np) x (J*Np, H) dots -> packed feats_scr
+        (rows, M*H), m in lanes, matching the (M*H, out) weight rows."""
         a_shared = a_ref[:] if shared else None
         for i in range(tb // j):
             a_blk = a_shared if shared else \
                 a_ref[0][i * m * gr:(i + 1) * m * gr]
             f = _dot(a_blk, x2d[i * gr:(i + 1) * gr])  # (M*J*Np, H-ish)
             for mi in range(m):
-                feats_scr[mi, i * gr:(i + 1) * gr, :] = \
+                feats_scr[i * gr:(i + 1) * gr,
+                          mi * h_units:(mi + 1) * h_units] = \
                     f[mi * gr:(mi + 1) * gr]
 
     diffuse(h)
-    gate = gx_ref[0].astype(jnp.float32) + bg_ref[:]
-    for mi in range(m):
-        gate = gate + _dot(feats_scr[mi],
-                           wg_ref[mi * h_units:(mi + 1) * h_units])
+    gate = (gx_ref[0].astype(jnp.float32) + bg_ref[:]
+            + _dot(feats_scr[:], wg_ref[:]))
     ru = jax.nn.sigmoid(gate)
     r, u = ru[:, :h_units], ru[:, h_units:]
 
     diffuse(r * h)
-    cand = cx_ref[0].astype(jnp.float32) + bc_ref[:]
-    for mi in range(m):
-        cand = cand + _dot(feats_scr[mi],
-                           wc_ref[mi * h_units:(mi + 1) * h_units])
-    c = act(cand)
+    c = act(cx_ref[0].astype(jnp.float32) + bc_ref[:]
+            + _dot(feats_scr[:], wc_ref[:]))
 
     h_new = u * h + (1.0 - u) * c
     h_scr[:] = h_new
-    hseq_ref[0] = h_new
+    hseq_ref[0] = h_new.astype(hseq_ref.dtype)
     ru_ref[0] = ru.astype(ru_ref.dtype)
     c_ref[0] = c.astype(c_ref.dtype)
 
 
-def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
+def _bwd_kernel(a_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
                 dseq_ref, dgx_ref, dcx_ref, dh0_ref, dwg_ref, dwc_ref,
                 dbg_ref, dbc_ref, dh_scr, hfeats_scr, rfeats_scr, dy_scr,
                 adj_scr, *, m: int, np_: int, tb: int, j: int, h_units: int,
@@ -257,18 +264,19 @@ def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
-    h_prev = hprev_ref[0]
+    h_prev = hprev_ref[0].astype(jnp.float32)
     ru = ru_ref[0].astype(jnp.float32)
     c = c_ref[0].astype(jnp.float32)
     r, u = ru[:, :h_units], ru[:, h_units:]
 
-    g = dh_scr[:] + dseq_ref[0]
+    g = dh_scr[:] + dseq_ref[0].astype(jnp.float32)
     du = g * (h_prev - c)
     dc = g * (1.0 - u)
     dc_pre = dc * act_grad(c)
 
     gr = j * np_  # rows per clip group
-    # recompute both diffusions fused: one dot per group over [h_prev | r*h]
+    # recompute both diffusions fused: one dot per group over [h_prev | r*h],
+    # packed into (rows, M*H) scratches (m in lanes, matching weight rows)
     rh = r * h_prev
     a_shared = a_ref[:] if shared else None
     for i in range(tb // j):
@@ -280,30 +288,38 @@ def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
         f = _dot(a_blk, x2)  # (M*J*Np, 2H): [:, :H] = hfeats, [:, H:] = rfeats
         for mi in range(m):
             blk = f[mi * gr:(mi + 1) * gr]
-            hfeats_scr[mi, i * gr:(i + 1) * gr, :] = blk[:, :h_units]
-            rfeats_scr[mi, i * gr:(i + 1) * gr, :] = blk[:, h_units:]
+            hfeats_scr[i * gr:(i + 1) * gr,
+                       mi * h_units:(mi + 1) * h_units] = blk[:, :h_units]
+            rfeats_scr[i * gr:(i + 1) * gr,
+                       mi * h_units:(mi + 1) * h_units] = blk[:, h_units:]
 
     def apply_ops_t():
-        """sum_m A_m^T @ dy_scr[:, m-slab] per group -> adj_scr (TB*Np, H)."""
-        at_shared = at_ref[:] if shared else None
-        for i in range(tb // j):
-            at_blk = at_shared if shared else \
-                at_ref[0][i * gr:(i + 1) * gr]
-            adj_scr[i * gr:(i + 1) * gr, :] = _dot(at_blk, dy_scr[i])
+        """sum_m A_m^T @ dy_scr[:, m-slab] per group -> adj_scr (TB*Np, H).
 
-    # candidate path
-    for mi in range(m):
-        wci = wc_ref[mi * h_units:(mi + 1) * h_units]
-        dwc_ref[mi * h_units:(mi + 1) * h_units] += jax.lax.dot_general(
-            rfeats_scr[mi], dc_pre,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PRECISION)
-        dy = jax.lax.dot_general(
-            dc_pre, wci, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PRECISION)
+        A^T is applied by contracting dim 0 of the SAME operator slabs the
+        forward uses (no separately materialized transpose)."""
         for i in range(tb // j):
-            dy_scr[i, mi * gr:(mi + 1) * gr, :] = \
-                dy[i * gr:(i + 1) * gr]
+            a_blk = a_shared if shared else \
+                a_ref[0][i * m * gr:(i + 1) * m * gr]
+            adj_scr[i * gr:(i + 1) * gr, :] = jax.lax.dot_general(
+                a_blk, dy_scr[i],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PRECISION)
+
+    def scatter_dy(dy):
+        """(rows, M*H) weight-transpose product -> per-group m-major rows."""
+        for i in range(tb // j):
+            for mi in range(m):
+                dy_scr[i, mi * gr:(mi + 1) * gr, :] = \
+                    dy[i * gr:(i + 1) * gr, mi * h_units:(mi + 1) * h_units]
+
+    # candidate path (single packed dots: K = rows for dW, K = H for dy)
+    dwc_ref[:] += jax.lax.dot_general(
+        rfeats_scr[:], dc_pre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+    scatter_dy(jax.lax.dot_general(
+        dc_pre, wc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION))
     dbc_ref[:] += jnp.sum(dc_pre, axis=0, keepdims=True)
     apply_ops_t()
     drh = adj_scr[:]
@@ -312,18 +328,12 @@ def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
     dru_pre = jnp.concatenate([dr, du], axis=1) * ru * (1.0 - ru)
 
     # gate path
-    for mi in range(m):
-        wgi = wg_ref[mi * h_units:(mi + 1) * h_units]
-        dwg_ref[mi * h_units:(mi + 1) * h_units] += jax.lax.dot_general(
-            hfeats_scr[mi], dru_pre,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PRECISION)
-        dz = jax.lax.dot_general(
-            dru_pre, wgi, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PRECISION)
-        for i in range(tb // j):
-            dy_scr[i, mi * gr:(mi + 1) * gr, :] = \
-                dz[i * gr:(i + 1) * gr]
+    dwg_ref[:] += jax.lax.dot_general(
+        hfeats_scr[:], dru_pre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+    scatter_dy(jax.lax.dot_general(
+        dru_pre, wg_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION))
     dbg_ref[:] += jnp.sum(dru_pre, axis=0, keepdims=True)
     apply_ops_t()
 
@@ -338,25 +348,19 @@ def _bwd_kernel(a_ref, at_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
         dh0_ref[0] = dh_prev
 
 
-def _a_specs(shared, m, np_, tb, j):
-    """BlockSpecs for the fwd operator stack and its bwd transpose."""
+def _a_spec(shared, m, np_, tb, j):
+    """BlockSpec for the operator stack (serves both directions)."""
     gr = j * np_
     if shared:
-        fwd = pl.BlockSpec((m * gr, gr), lambda i, t: (0, 0),
-                           memory_space=pltpu.VMEM)
-        bwd = pl.BlockSpec((gr, m * gr), lambda i, t: (0, 0),
-                           memory_space=pltpu.VMEM)
-    else:
-        fwd = pl.BlockSpec((1, (tb // j) * m * gr, gr),
-                           lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM)
-        bwd = pl.BlockSpec((1, tb * np_, m * gr), lambda i, t: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    return fwd, bwd
+        return pl.BlockSpec((m * gr, gr), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, (tb // j) * m * gr, gr),
+                        lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
 def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret, residual_dtype=jnp.float32):
-    a_c, a_t, gx, cx, h0f, shared, dims = _prep(
+    a_c, gx, cx, h0f, shared, dims = _prep(
         a_ops, gate_x, cand_x, h0, batch_tile)
     t, b, n, np_, tb, g, j = dims
     m = a_ops.shape[0]
@@ -365,7 +369,7 @@ def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
     wg_f = wg_r.reshape(m * h_units, -1)
     wc_f = wc_r.reshape(m * h_units, -1)
 
-    a_fwd_spec, _ = _a_specs(shared, m, np_, tb, j)
+    a_fwd_spec = _a_spec(shared, m, np_, tb, j)
     kernel = functools.partial(
         _fwd_kernel, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
         activation=activation, shared=shared)
@@ -398,23 +402,25 @@ def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, g * rows, h_units), jnp.float32),
+            # h_seq streams in residual_dtype too (bf16 halves its HBM
+            # write + the bwd h_prev re-read + the d_seq cotangent stream)
+            jax.ShapeDtypeStruct((t, g * rows, h_units), residual_dtype),
             jax.ShapeDtypeStruct((t, g * rows, 2 * h_units), residual_dtype),
             jax.ShapeDtypeStruct((t, g * rows, h_units), residual_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, h_units), jnp.float32),
-            pltpu.VMEM((m, rows, h_units), jnp.float32),
+            pltpu.VMEM((rows, m * h_units), jnp.float32),
         ],
         interpret=interpret,
     )(a_c, wg_f, wc_f, gate_b.reshape(1, -1), cand_b.reshape(1, -1),
       h0f, gx, cx)
 
     h_seq_out = h_seq.reshape(t, g * tb, np_, h_units)[:, :b, :n]
-    return h_seq_out, (a_c, a_t, h_seq, ru_seq, c_seq, shared, dims)
+    return h_seq_out, (a_c, h_seq, ru_seq, c_seq, shared, dims)
 
 
-def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
+def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
               d_seq_flat, activation, interpret, shared, dims):
     t, b, n, np_, tb, g, j = dims
     m = wg_r.shape[0]
@@ -423,11 +429,12 @@ def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
     wg_f = wg_r.reshape(m * h_units, -1)
     wc_f = wc_r.reshape(m * h_units, -1)
 
-    # h_prev over time: [h0, h_1 .. h_{T-1}]
-    h_prev = jnp.concatenate([h0f.reshape(1, g * rows, h_units),
-                              h_seq_flat[:-1]], axis=0)
+    # h_prev over time: [h0, h_1 .. h_{T-1}] in the h_seq stream dtype
+    h_prev = jnp.concatenate(
+        [h0f.reshape(1, g * rows, h_units).astype(h_seq_flat.dtype),
+         h_seq_flat[:-1]], axis=0)
 
-    a_fwd_spec, a_bwd_spec = _a_specs(shared, m, np_, tb, j)
+    a_fwd_spec = _a_spec(shared, m, np_, tb, j)
     kernel = functools.partial(
         _bwd_kernel, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
         activation=activation, t_total=t, shared=shared)
@@ -437,7 +444,6 @@ def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
         grid=(g, t),
         in_specs=[
             a_fwd_spec,
-            a_bwd_spec,
             pl.BlockSpec((m * h_units, 2 * h_units), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m * h_units, h_units), lambda i, j: (0, 0),
@@ -474,14 +480,14 @@ def _backward(a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, h_units), jnp.float32),        # dh carry
-            pltpu.VMEM((m, rows, h_units), jnp.float32),     # hfeats
-            pltpu.VMEM((m, rows, h_units), jnp.float32),     # rfeats
+            pltpu.VMEM((rows, m * h_units), jnp.float32),    # hfeats packed
+            pltpu.VMEM((rows, m * h_units), jnp.float32),    # rfeats packed
             pltpu.VMEM((tb // j, m * j * np_, h_units),
                        jnp.float32),                         # dy per group
             pltpu.VMEM((rows, h_units), jnp.float32),        # A^T apply out
         ],
         interpret=interpret,
-    )(a_c, a_t, wg_f, wc_f, h_prev, ru_seq, c_seq, d_seq_flat)
+    )(a_c, wg_f, wc_f, h_prev, ru_seq, c_seq, d_seq_flat)
 
     dgx = dgx.reshape(t, g * tb, np_, 2 * h_units)[:, :b, :n]
     dcx = dcx.reshape(t, g * tb, np_, h_units)[:, :b, :n]
@@ -516,19 +522,19 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
 
 def _vjp_fwd(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret, residual_dtype):
-    h_seq, (a_c, a_t, h_seq_flat, ru_seq, c_seq, shared, dims) = _forward(
+    h_seq, (a_c, h_seq_flat, ru_seq, c_seq, shared, dims) = _forward(
         a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0, activation,
         batch_tile, interpret, residual_dtype)
     t, b, n, np_, tb, g, j = dims
     rows = tb * np_
     h0p = _pad_axis(_pad_axis(h0, 0, g * tb), 1, np_)
-    res = (a_c, a_t, wg_r, wc_r, h0p.reshape(g, rows, -1), h_seq_flat,
+    res = (a_c, wg_r, wc_r, h0p.reshape(g, rows, -1), h_seq_flat,
            ru_seq, c_seq, shared, dims)
     return (h_seq[-1], h_seq), res
 
 
 def _vjp_bwd(activation, batch_tile, interpret, residual_dtype, res, grads):
-    (a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, shared,
+    (a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, shared,
      dims) = res
     t, b, n, np_, tb, g, j = dims
     d_last, d_seq = grads
@@ -540,7 +546,7 @@ def _vjp_bwd(activation, batch_tile, interpret, residual_dtype, res, grads):
     d_flat = d_pad.reshape(t, g * rows, h_units)
 
     dgx, dcx, dwg, dwc, dbg, dbc, dh0 = _backward(
-        a_c, a_t, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat,
+        a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat,
         activation, interpret, shared, dims)
     # a_ops gradient intentionally zero (supports are data, never trained);
     # cotangent dtypes/shapes must match the (possibly bf16) primal streams
