@@ -74,20 +74,60 @@ def main(argv=None):
         and cfg.task in ("detection", "SS pre-training")
         and cfg.model_name == "dcrnn"
     )
+    use_hbm_cache = (
+        cfg.hbm_cache
+        and cfg.task == "detection"
+        and cfg.model_name == "dcrnn"
+        and jax.process_count() == 1
+    )
     input_pipeline = None
+    device_caches = None
     if cfg.task == "detection":
         loaders, _, scaler = load_dataset_detection(
             max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
             raw_mode=use_device_pipeline, **common)
-        if use_device_pipeline:
+        if use_device_pipeline or use_hbm_cache:
             from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
 
+            # the HBM-cache fast path opts into reflection-as-true-
+            # relabeling (exact no-op for this model family; shared
+            # supports — see DIVERGENCES.md "Reflection-invariant supports")
             input_pipeline = make_device_pipeline(
                 graph_type=cfg.graph_type, filter_type=cfg.filter_type,
                 top_k=cfg.top_k, use_fft=cfg.use_fft,
                 time_step_size=cfg.time_step_size, scaler=scaler,
                 augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
-                num_nodes=cfg.num_nodes)
+                num_nodes=cfg.num_nodes, reflect_invariant=use_hbm_cache)
+        if use_hbm_cache:
+            # HBM-resident splits: featurize once on host (plain clips —
+            # augment/standardize/graphs run on device per step), upload
+            # once, gather per step (data/device_cache.py)
+            from eeg_gnn_tpu.data.device_cache import (
+                build_detection_cache,
+                fits_in_hbm,
+            )
+
+            _, plain_datasets, _ = load_dataset_detection(
+                input_dir=cfg.input_dir, raw_data_dir=cfg.raw_data_dir,
+                train_batch_size=cfg.train_batch_size,
+                test_batch_size=cfg.test_batch_size,
+                time_step_size=cfg.time_step_size, standardize=False,
+                num_workers=cfg.num_workers, augmentation=False,
+                adj_mat_dir=None, graph_type=None, use_fft=cfg.use_fft,
+                preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
+                max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123)
+            storage = "bfloat16" if cfg.dtype == "bfloat16" else "float32"
+            n_total = sum(len(d) for d in plain_datasets.values())
+            if fits_in_hbm(n_total, cfg.max_seq_len, cfg.num_nodes,
+                           cfg.input_dim, storage):
+                device_caches = {
+                    split: build_detection_cache(
+                        ds, cfg.max_seq_len, storage_dtype=storage)
+                    for split, ds in plain_datasets.items()
+                }
+            else:
+                print("hbm_cache: splits exceed the HBM budget; falling "
+                      "back to the streaming loader", file=sys.stderr)
     elif cfg.task == "classification":
         if cfg.model_name == "densecnn":
             # reference train.py:92-106 switches to the flat-clip loader
@@ -138,7 +178,8 @@ def main(argv=None):
                       cfg.test_batch_size)
         mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
-                             mesh=mesh, input_pipeline=input_pipeline)
+                             mesh=mesh, input_pipeline=input_pipeline,
+                             device_caches=device_caches)
     with open(os.path.join(save_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results

@@ -68,6 +68,9 @@ class ExperimentConfig:
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     mesh_shape: str = "data:-1"  # e.g. "data:8" / "data:4,graph:2"
     device_pipeline: bool = False  # fused on-device input pipeline (raw clips in)
+    hbm_cache: bool = False  # keep the featurized splits resident in device
+    # HBM and gather batches in-step (detection+dcrnn, single process;
+    # data/device_cache.py — for hosts where H2D can't feed the chip)
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
@@ -195,6 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     _add_bool_flag(p, "device_pipeline",
                    "Fused on-device input pipeline (featurize+graphs in-step).")
+    _add_bool_flag(p, "hbm_cache",
+                   "Keep featurized splits resident in device HBM; batches "
+                   "are gathered in-step (detection+dcrnn, single process).")
     _add_bool_flag(p, "use_pallas", "Use Pallas diffusion kernels.")
     p.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
     p.add_argument("--fused_steps", type=int, default=d.fused_steps,

@@ -63,6 +63,27 @@ class DevicePipeline:
     node_perm: jnp.ndarray              # (N,) reflection permutation
     dist_supports: Optional[jnp.ndarray]         # (S, N, N) or None
     dist_supports_swapped: Optional[jnp.ndarray]  # (S, N, N) or None
+    # Fast path for the combined graph: treat reflection as the TRUE node
+    # relabeling. Reflecting BOTH the clip (x' = Px) and the distance graph
+    # (A' = PAP^T) is a pure relabeling, and every consumer of this
+    # pipeline (DCRNN family: per-node shared weights + node-symmetric
+    # head/loss) is invariant under simultaneous node permutation —
+    # supports commute with P for all filter types (degree/λmax/
+    # normalizations are permutation-equivariant). Under that semantics the
+    # reflected sample yields EXACTLY the unreflected loss and gradients
+    # (tests/test_device_pipeline.py::test_reflect_invariant_fast_path_
+    # exact proves it on the real model), so reflection is skipped and
+    # supports stay ONE shared (S, N, N) slab — the kernels'
+    # shared-operator fast path — instead of per-clip (S, B, N, N) stacks.
+    # DIVERGENCE (opt-in, default False): the reference's swapped adjacency
+    # is NOT a true permutation (multi-pair writes clobber each other,
+    # dataloader_detection.py:309-333 — see graphs/distance.py quirk note),
+    # so this path deviates from the literal reference at those
+    # intersection entries; see DIVERGENCES.md "Reflection-invariant
+    # supports". Correlation ('individual') graphs are never invariant
+    # (the reference builds the graph from the UN-reflected clip), so this
+    # never applies there.
+    reflect_invariant: bool = False
 
     def __call__(self, raw, rng, training: bool):
         """raw (B, C, L) float32 -> (x (B,T,C,D), supports (S,B,N,N))."""
@@ -70,35 +91,61 @@ class DevicePipeline:
 
         feats = featurize_clip(raw, self.time_step_size, FREQUENCY,
                                self.use_fft)  # (B, T, C, D)
+        return self.features(feats, rng, training)
+
+    def features(self, feats, rng, training: bool):
+        """Post-featurization tail: augment -> standardize -> supports.
+
+        Entry point for ALREADY-featurized (B, T, C, D) clips — the
+        HBM-resident dataset cache (data/device_cache.py) gathers stored
+        FFT features and runs exactly the host path's remaining math
+        (augment THEN standardize, dataloader_detection.py:233-256)
+        on device.
+        """
         b = feats.shape[0]
 
         do_aug = self.augment and training
+        combined = self.graph_type != "individual"
+        # see reflect_invariant: for the combined graph, (Px, PAP^T) is a
+        # relabeling of (x, A) — skipping BOTH reflections reproduces the
+        # reference's loss/gradients exactly while keeping supports shared
+        do_reflect = do_aug and not (combined and self.reflect_invariant)
         if do_aug:
             k_ref, k_scale = jax.random.split(rng)
             reflect = jax.random.bernoulli(k_ref, 0.5, (b,))
-            reflected = feats[:, :, self.node_perm, :]
-            aug = jnp.where(reflect[:, None, None, None], reflected, feats)
+            if do_reflect:
+                reflected = feats[:, :, self.node_perm, :]
+                aug = jnp.where(reflect[:, None, None, None], reflected,
+                                feats)
+            else:
+                aug = feats
             scale = jax.random.uniform(k_scale, (b,), minval=0.8, maxval=1.2)
             if self.use_fft:
-                aug = aug + jnp.log(scale)[:, None, None, None]
+                aug = aug + jnp.log(scale).astype(aug.dtype)[
+                    :, None, None, None]
             else:
-                aug = aug * scale[:, None, None, None]
+                aug = aug * scale.astype(aug.dtype)[:, None, None, None]
         else:
             reflect = jnp.zeros((b,), bool)
             aug = feats
 
-        x = (aug - self.mean) / self.std
+        x = (aug - jnp.asarray(self.mean, aug.dtype)) / jnp.asarray(
+            self.std, aug.dtype)
 
         if self.graph_type == "individual":
             # reference quirk: graph from the UN-augmented features
-            adj = correlation_adjacency_jnp(feats, top_k=self.top_k)
+            # (top-k tie-breaks want full precision — upcast bf16 storage)
+            adj = correlation_adjacency_jnp(feats.astype(jnp.float32),
+                                            top_k=self.top_k)
             supports = compute_supports_jnp(adj, self.filter_type)
-        else:
+        elif do_reflect:
             supports = jnp.where(
                 reflect[None, :, None, None],
                 self.dist_supports_swapped[:, None],
                 self.dist_supports[:, None],
             )  # (S, B, N, N)
+        else:
+            supports = self.dist_supports  # shared (S, N, N) slab
         return x, supports
 
     def ssl(self, raw_x, raw_y, rng, training: bool):
@@ -152,7 +199,13 @@ def make_device_pipeline(*, graph_type: str, filter_type: str,
                          top_k: Optional[int], use_fft: bool,
                          time_step_size: int, scaler, augment: bool,
                          adj_mat_dir: Optional[str] = None,
-                         num_nodes: int = 19) -> DevicePipeline:
+                         num_nodes: int = 19,
+                         reflect_invariant: bool = False
+                         ) -> DevicePipeline:
+    """``reflect_invariant=True`` opts into the shared-support fast path
+    for the combined graph (reflection as a true node relabeling — exact
+    no-op for the DCRNN family; see the DevicePipeline field docs). Default
+    False reproduces the reference's literal per-clip swapped supports."""
     dist_sup = dist_sup_sw = None
     if graph_type == "combined":
         adj = load_distance_adjacency(adj_mat_dir)
@@ -172,4 +225,5 @@ def make_device_pipeline(*, graph_type: str, filter_type: str,
         node_perm=jnp.asarray(reflection_permutation(num_nodes)),
         dist_supports=dist_sup,
         dist_supports_swapped=dist_sup_sw,
+        reflect_invariant=reflect_invariant,
     )

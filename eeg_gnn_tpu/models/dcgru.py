@@ -352,8 +352,12 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
     cur = x_seq
     lasts = []
     for i, (cfg, p) in enumerate(zip(cfgs, params)):
+        # recurrent STATE is always f32 (the Pallas kernels accumulate in
+        # f32 scratch even in bf16 mode); x may arrive bf16 — e.g. the
+        # loader casts before H2D to halve transfer bytes — without
+        # touching state precision
         h_init = (
-            jnp.zeros((b, n, h_units), dtype) if h0 is None else h0[i]
+            jnp.zeros((b, n, h_units), jnp.float32) if h0 is None else h0[i]
         )
         h_last, cur = _layer_scan(cfg, p, supports, cur, h_init)
         lasts.append(h_last)

@@ -41,6 +41,17 @@ def supervised_loss_fn(bundle, task: str, input_pipeline=None):
             rng, k_pipe = jax.random.split(rng)
             x, supports = input_pipeline(batch["raw"], k_pipe, training)
             batch = {**batch, "x": x, "supports": supports}
+        elif input_pipeline is not None and batch.get("cache_x") is not None:
+            # HBM-resident dataset (data/device_cache.py): gather the batch
+            # from the cached split INSIDE the program — the only per-step
+            # H2D is the (B,) index vector — then run the device tail
+            # (augment -> standardize -> supports) exactly like the host
+            # loader would
+            rng, k_pipe = jax.random.split(rng)
+            feats = jnp.take(batch["cache_x"], batch["idx"], axis=0)
+            x, supports = input_pipeline.features(feats, k_pipe, training)
+            y = jnp.take(batch["cache_y"], batch["idx"], axis=0)
+            batch = {**batch, "x": x, "supports": supports, "y": y}
         logits, new_state = bundle.apply(params, model_state, batch,
                                          training=training, rng=rng)
         valid = batch.get("valid")  # padded rows masked out of the loss
@@ -164,6 +175,100 @@ def make_multi_train_step(loss_fn, optimizer, *, has_batches_seen: bool = False,
             (params, model_state, opt_state), losses = jax.lax.scan(
                 body, (params, model_state, opt_state), (batches, rngs))
             return params, model_state, opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def make_cached_train_step(loss_fn, optimizer, seq_len: int,
+                           batch_size: int, *, donate: bool = True):
+    """Device-resident training step for HBM-cached splits: steady-state
+    dispatches carry ZERO host data.
+
+    Per-call host->device transfers (even a (B,) index vector or a fresh
+    rng key) cost a blocking round-trip on high-latency runtimes —
+    measured ~2 ms of an 11 ms step on the axon tunnel. Here everything
+    the step consumes already lives on device: the epoch's shuffled
+    permutation + per-batch valid counts (ONE upload per epoch), and a
+    carried (key, counter, loss-buffer) state — the key splits in-program,
+    the counter picks the batch via ``dynamic_slice``, losses scatter into
+    the buffer for a single epoch-end D2H.
+
+    Call: (params, model_state, opt_state, key, counter, loss_buf,
+    cache_x, cache_y, perm (K*B,) int32, valid_vec (K,) int32)
+    -> (params, model_state, opt_state, key, counter+1, loss_buf).
+    """
+
+    def step(params, model_state, opt_state, key, counter, loss_buf,
+             cache_x, cache_y, perm, valid_vec):
+        idx = jax.lax.dynamic_slice(perm, (counter * batch_size,),
+                                    (batch_size,))
+        batch = {
+            "cache_x": cache_x, "cache_y": cache_y, "idx": idx,
+            "x": None, "y": None,
+            "seq_lengths": jnp.full((batch_size,), seq_len, jnp.int32),
+            "supports": None, "valid": valid_vec[counter],
+        }
+        key, sub = jax.random.split(key)
+
+        def wrapped(p):
+            return loss_fn(p, model_state, batch, sub, True)
+
+        (loss, (_, new_state)), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        loss_buf = loss_buf.at[counter].set(loss)
+        return params, new_state, opt_state, key, counter + 1, loss_buf
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5) if donate
+                   else ())
+
+
+def make_cached_epoch_step(loss_fn, optimizer, seq_len: int, *,
+                           donate: bool = True):
+    """Whole-epoch trainer for HBM-resident datasets: ONE compiled program
+    scans every optimizer step of an epoch over a (K, B) index matrix.
+
+    With the split cached on device (data/device_cache.py), per-step host
+    involvement is what kills throughput on high-latency links (measured:
+    per-step dispatch + a (B,) index H2D cost ~10 ms on the axon tunnel vs
+    a 9 ms step). Scanning the epoch in-program drops host traffic to ONE
+    dispatch + one ~50 KB index upload per epoch. Numerics are identical
+    to K sequential ``make_train_step`` calls (same argument as
+    ``make_multi_train_step``).
+
+    Args at call time: (params, model_state, opt_state, cache_x, cache_y,
+    idx_mat (K, B) int32, valid_vec (K,) int32, rngs (K, 2) keys)
+    -> (params, model_state, opt_state, losses (K,)).
+    """
+
+    def step(params, model_state, opt_state, cache_x, cache_y, idx_mat,
+             valid_vec, rngs):
+        b = idx_mat.shape[1]
+        seq_lengths = jnp.full((b,), seq_len, jnp.int32)
+
+        def body(carry, inp):
+            p, ms, os_ = carry
+            idx, valid, rng = inp
+            batch = {
+                "cache_x": cache_x, "cache_y": cache_y, "idx": idx,
+                "x": None, "y": None, "seq_lengths": seq_lengths,
+                "supports": None, "valid": valid,
+            }
+
+            def wrapped(p_):
+                return loss_fn(p_, ms, batch, rng, True)
+
+            (loss, (_, ms2)), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(p)
+            updates, os2 = optimizer.update(grads, os_, p)
+            p = optax.apply_updates(p, updates)
+            return (p, ms2, os2), loss
+
+        (params, model_state, opt_state), losses = jax.lax.scan(
+            body, (params, model_state, opt_state),
+            (idx_mat, valid_vec, rngs))
+        return params, model_state, opt_state, losses
 
     return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 

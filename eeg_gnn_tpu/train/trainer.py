@@ -70,7 +70,8 @@ class Trainer:
     """Drives training + evaluation for one task on one model bundle."""
 
     def __init__(self, cfg: ExperimentConfig, loaders, scaler, log,
-                 metrics_writer, bundle=None, mesh=None, input_pipeline=None):
+                 metrics_writer, bundle=None, mesh=None, input_pipeline=None,
+                 device_caches=None):
         self.cfg = cfg
         self.loaders = loaders
         self.scaler = scaler
@@ -78,7 +79,17 @@ class Trainer:
         self.tbx = metrics_writer
         self.mesh = mesh
         self.input_pipeline = input_pipeline
+        # HBM-resident split caches {split: DeviceDatasetCache} — when a
+        # split is cached, its batches are gathered on device and the
+        # loader is bypassed entirely (data/device_cache.py). Supervised
+        # tasks only (the SSL step streams raw x/y pairs).
         self.is_ssl = cfg.task == "SS pre-training"
+        self.device_caches = (device_caches or {}) if not self.is_ssl else {}
+        # loader batches carry RAW clips only when the loaders were built in
+        # raw_mode (--device_pipeline); with --hbm_cache alone the pipeline
+        # serves cached features and streaming batches stay featurized
+        self.raw_batches = (input_pipeline is not None
+                            and getattr(cfg, "device_pipeline", False))
         # multi-host: every process holds 1/n_procs of each global batch
         # (parallel/distributed.py); batch dicts are assembled into global
         # jax.Arrays and the loss masks the global valid count.
@@ -104,6 +115,20 @@ class Trainer:
         self.eval_step = make_eval_step(self.loss_fn)
 
         self.fused_steps = max(1, getattr(cfg, "fused_steps", 1))
+        if "train" in self.device_caches:
+            if self.fused_steps > 1:
+                from eeg_gnn_tpu.train.step import make_cached_epoch_step
+
+                self.cached_epoch_step = make_cached_epoch_step(
+                    self.loss_fn, self.optimizer,
+                    self.device_caches["train"].seq_len)
+            else:
+                from eeg_gnn_tpu.train.step import make_cached_train_step
+
+                self.cached_train_step = make_cached_train_step(
+                    self.loss_fn, self.optimizer,
+                    self.device_caches["train"].seq_len,
+                    cfg.train_batch_size)
         if self.fused_steps > 1:
             from eeg_gnn_tpu.train.step import make_multi_train_step
 
@@ -122,7 +147,7 @@ class Trainer:
         batch, valid = _pad_batch(batch, batch_size // self.n_procs)
         if global_valid is not None:
             valid = global_valid
-        if self.input_pipeline is not None:
+        if self.raw_batches:
             d = {
                 "raw": np.asarray(batch.x),  # (B, C, L) raw clips
                 "seq_lengths": np.asarray(batch.seq_lengths),
@@ -228,24 +253,63 @@ class Trainer:
                 self.tbx.add_scalar("train/Loss", float(loss), step)
             return params, model_state, opt_state, step
 
+        train_cache = self.device_caches.get("train")
+        cache_rng = np.random.RandomState(cfg.rand_seed)
+
         while epoch != cfg.num_epochs and not early_stop:
             epoch += 1
             self.log.info(f"Starting epoch {epoch}...")
-            pending = []
-            for batch in self.loaders["train"]:
+            if train_cache is not None:
+                # device-resident split: the epoch's shuffled permutation
+                # uploads ONCE; every step slices its batch, splits its rng
+                # key, and scatters its loss entirely on device — the
+                # steady-state dispatch carries zero host data and the only
+                # D2H is the epoch-end loss buffer. (--fused_steps > 1
+                # additionally folds the whole epoch into one lax.scan
+                # program; per-step dispatch pipelines better under
+                # runtimes like the axon tunnel, so it is the default.)
+                perm, valid_vec = train_cache.epoch_plan(
+                    cfg.train_batch_size, True, cache_rng)
+                k_steps = len(valid_vec)
                 if self.fused_steps > 1:
-                    pending.append(batch)
-                    if len(pending) == self.fused_steps:
-                        params, model_state, opt_state, step = run_fused(
-                            params, model_state, opt_state, pending, step)
-                        pending = []
+                    rng, *subs = jax.random.split(rng, k_steps + 1)
+                    idx_mat = perm.reshape(k_steps, -1)
+                    params, model_state, opt_state, losses = (
+                        self.cached_epoch_step(
+                            params, model_state, opt_state, train_cache.x,
+                            train_cache.y, jnp.asarray(idx_mat),
+                            jnp.asarray(valid_vec), jnp.stack(subs)))
                 else:
+                    rng, epoch_key = jax.random.split(rng)
+                    perm_d = jnp.asarray(perm)
+                    valid_d = jnp.asarray(valid_vec)
+                    counter = jnp.int32(0)
+                    losses = jnp.zeros((k_steps,), jnp.float32)
+                    for _ in range(k_steps):
+                        (params, model_state, opt_state, epoch_key,
+                         counter, losses) = self.cached_train_step(
+                            params, model_state, opt_state, epoch_key,
+                            counter, losses, train_cache.x, train_cache.y,
+                            perm_d, valid_d)
+                for v, loss in zip(valid_vec, np.asarray(losses)):
+                    step += int(v)
+                    self.tbx.add_scalar("train/Loss", float(loss), step)
+            else:
+                pending = []
+                for batch in self.loaders["train"]:
+                    if self.fused_steps > 1:
+                        pending.append(batch)
+                        if len(pending) == self.fused_steps:
+                            params, model_state, opt_state, step = run_fused(
+                                params, model_state, opt_state, pending, step)
+                            pending = []
+                    else:
+                        params, model_state, opt_state, step = run_one(
+                            params, model_state, opt_state, batch, step)
+                # epoch remainder smaller than fused_steps: single-step
+                for batch in pending:
                     params, model_state, opt_state, step = run_one(
                         params, model_state, opt_state, batch, step)
-            # epoch remainder smaller than fused_steps: single-step program
-            for batch in pending:
-                params, model_state, opt_state, step = run_one(
-                    params, model_state, opt_state, batch, step)
 
             if epoch % cfg.eval_every == 0:
                 eval_results = self.evaluate(params, model_state, "dev")
@@ -271,6 +335,29 @@ class Trainer:
 
     # -- evaluation --------------------------------------------------------
 
+    def _eval_batches(self, split: str):
+        """Yield (device_batch, valid, y_host, names) from the split's HBM
+        cache when present, else from its streaming loader."""
+        cache = self.device_caches.get(split)
+        if cache is not None:
+            rng = np.random.RandomState(0)  # unused: shuffle=False
+            for idx, valid in cache.epoch_index_batches(
+                    self.cfg.test_batch_size, False, rng):
+                yield (cache.device_batch(idx, valid), valid,
+                       cache._labels_host[idx[:valid]],
+                       [cache.names[i] for i in idx[:valid]])
+            return
+        for batch in self.loaders[split]:
+            dbatch, valid, names = self._device_batch(
+                batch, self.cfg.test_batch_size)
+            if self.n_procs > 1:
+                from eeg_gnn_tpu.parallel.distributed import all_gather_host
+
+                y_host = all_gather_host(np.asarray(batch.y))
+            else:
+                y_host = np.asarray(batch.y)
+            yield dbatch, valid, y_host, names
+
     def evaluate(self, params, model_state, split: str, is_test: bool = False,
                  best_thresh: float = 0.5) -> Dict[str, float]:
         cfg = self.cfg
@@ -279,20 +366,14 @@ class Trainer:
 
         nll = AverageMeter()
         y_pred_all, y_true_all, y_prob_all, names_all = [], [], [], []
-        for batch in self.loaders[split]:
-            dbatch, valid, names = self._device_batch(batch, cfg.test_batch_size)
+        for dbatch, valid, y_host, names in self._eval_batches(split):
             loss, logits = self.eval_step(params, model_state, dbatch)
             if self.n_procs > 1:
                 # logits are batch-sharded across processes; metrics are
                 # computed on the gathered global rows (identical everywhere)
                 from jax.experimental import multihost_utils
 
-                from eeg_gnn_tpu.parallel.distributed import all_gather_host
-
                 logits = multihost_utils.process_allgather(logits, tiled=True)
-                y_host = all_gather_host(np.asarray(batch.y))
-            else:
-                y_host = np.asarray(batch.y)
             logits = np.asarray(logits)[:valid]
             y = y_host.reshape(-1)[:valid]
             if cfg.num_classes == 1:
@@ -337,7 +418,7 @@ class Trainer:
 
 def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
                    log, metrics_writer, mesh=None, init_params=None,
-                   input_pipeline=None) -> Dict[str, float]:
+                   input_pipeline=None, device_caches=None) -> Dict[str, float]:
     """Full main() flow for all tasks/models; returns final test results."""
     key = jax.random.PRNGKey(cfg.rand_seed)
 
@@ -379,8 +460,13 @@ def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
         else:
             params = load_params_like(cfg.load_model_path, params)
 
+    if device_caches and mesh is not None:
+        log.info("hbm_cache: mesh sharding not supported with cached "
+                 "splits; using the streaming loader")
+        device_caches = None
     trainer = Trainer(cfg, loaders, scaler, log, metrics_writer,
-                      bundle=bundle, mesh=mesh, input_pipeline=input_pipeline)
+                      bundle=bundle, mesh=mesh, input_pipeline=input_pipeline,
+                      device_caches=device_caches)
 
     if cfg.do_train:
         params, model_state, saver = trainer.train(params, model_state, save_dir)

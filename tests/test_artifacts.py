@@ -1,0 +1,67 @@
+"""Committed benchmark artifacts stay self-consistent.
+
+These gate the *artifacts* (regenerated on the TPU host by their
+benchmarks), not the hardware: regressions that silently weaken a claimed
+result — a bf16 quality gap drifting past the round-2 verdict's 0.01
+AUROC bound, or kernel-parity errors past the bench gate — fail here.
+"""
+
+import json
+import os
+
+import pytest
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "benchmarks")
+
+
+def _load(name):
+    path = os.path.join(BENCH_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_bf16_quality_artifact():
+    """bf16 flagship training converges like f32 (verdict r2 item 4):
+    test-AUROC gap <= 0.01 and both runs clearly above chance."""
+    art = _load("bf16_quality_results.json")
+    f32, bf16 = art["float32"], art["bfloat16"]
+    assert art["test_auroc_gap"] <= 0.01
+    assert abs(f32["test"]["auroc"] - bf16["test"]["auroc"]) == pytest.approx(
+        art["test_auroc_gap"], abs=1e-6)
+    for run in (f32, bf16):
+        assert run["test"]["auroc"] >= 0.80, "flagship recipe must learn"
+        # dev curves actually descend (training happened, not a stub)
+        losses = run["curves"]["dev_loss"]
+        assert len(losses) >= 10 and min(losses) < losses[0]
+
+
+def test_tpu_kernel_parity_artifact():
+    """Compiled-Mosaic vs stacked-XLA parity errors stay inside the same
+    bounds bench.py's check_gate enforces on the chip."""
+    art = _load("tpu_kernel_parity.json")
+    assert art["backend"] == "tpu"
+    assert len(art["cases"]) >= 4
+    for case in art["cases"]:
+        bf16 = case["config"]["bf16"]
+        tol = 2e-2 if bf16 else 5e-3
+        for name, err in case["errors"].items():
+            assert err["rel"] <= tol, (case["name"], name, err)
+
+
+def test_e2e_pipeline_artifact():
+    """The HBM-cache path must sustain >=60% of the step-only ceiling
+    end-to-end (measured 64-74% across sessions; the residual is
+    per-dispatch overhead of the axon tunnel runtime, not device work —
+    NOTES.md 'End-to-end input pipeline'), and must beat the streaming
+    loader by >=20x on this link-bound host."""
+    art = _load("e2e_pipeline_results.json")
+    assert art["h2d_sync_GBps"] > 0
+    for dtype in ("bfloat16", "float32"):
+        r = art[dtype]
+        assert r["hbm_cache_efficiency"] >= 0.60
+        assert (r["hbm_cache_clips_per_s"]
+                >= 20 * r["clipstore_features_clips_per_s"])
+        assert r["step_only_clips_per_s"] > 0

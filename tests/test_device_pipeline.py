@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from eeg_gnn_tpu.constants import FREQUENCY
 from eeg_gnn_tpu.data.device_pipeline import (
+    DevicePipeline,
     make_device_pipeline,
     reflection_permutation,
 )
@@ -63,10 +64,13 @@ def test_combined_graph_pipeline_and_reflection(rng, dist_pkl):
     from eeg_gnn_tpu.graphs import load_distance_adjacency, swap_adjacency_nodes
 
     scaler = StandardScaler(mean=np.float64(0.0), std=np.float64(1.0))
+    # reflect_invariant=False: test the LITERAL per-clip reflected-support
+    # semantics (the default fast path is covered by
+    # test_reflect_invariant_fast_path_exact)
     pipe = make_device_pipeline(
         graph_type="combined", filter_type="laplacian", top_k=None,
         use_fft=True, time_step_size=1, scaler=scaler, augment=True,
-        adj_mat_dir=dist_pkl)
+        adj_mat_dir=dist_pkl, reflect_invariant=False)
 
     raw = rng.randn(8, 19, 4 * FREQUENCY).astype(np.float32)
     x, supports = jax.jit(lambda r, k: pipe(r, k, True))(
@@ -102,6 +106,65 @@ def test_combined_graph_pipeline_and_reflection(rng, dist_pkl):
         shift = np.asarray(x[b]) - base
         assert np.std(shift) < 1e-3  # constant log-scale shift
         assert np.abs(shift.mean()) <= abs(np.log(1.2)) + 1e-3
+
+
+def test_reflect_invariant_fast_path_exact(rng, dist_pkl):
+    """The opt-in combined-graph fast path (skip reflection, shared
+    supports) must yield the SAME loss and gradients as literally
+    reflecting clip + graph, when the graph swap is the TRUE node
+    permutation P·A·Pᵀ: relabeling nodes is invisible to the
+    permutation-invariant DCRNN family. (The reference's quirky multi-pair
+    swap is NOT a true permutation — that literal path keeps its own test
+    above — which is why this is opt-in: DIVERGENCES.md
+    "Reflection-invariant supports".)"""
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.graphs import compute_supports, load_distance_adjacency
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.step import supervised_loss_fn
+
+    cfg = ExperimentConfig(do_train=True, graph_type="combined",
+                           num_rnn_layers=1, rnn_units=8, input_dim=100,
+                           max_diffusion_step=1, use_fft=True,
+                           dropout=0.0).finalize()
+    scaler = StandardScaler(mean=np.float64(0.0), std=np.float64(1.0))
+
+    adj = load_distance_adjacency(dist_pkl)
+    perm = reflection_permutation(19)
+    sup = jnp.asarray(np.stack(compute_supports(adj, cfg.filter_type)))
+    sup_true_perm = jnp.asarray(np.stack(
+        compute_supports(adj[perm][:, perm], cfg.filter_type)))
+    pipes = {
+        mode: DevicePipeline(
+            time_step_size=1, use_fft=True, graph_type="combined",
+            filter_type=cfg.filter_type, top_k=None, mean=0.0, std=1.0,
+            augment=True, node_perm=jnp.asarray(perm),
+            dist_supports=sup, dist_supports_swapped=sup_true_perm,
+            reflect_invariant=mode)
+        for mode in (False, True)
+    }
+    bundle = build_model(cfg)
+    params, ms = bundle.init(jax.random.PRNGKey(0))
+    raw = rng.randn(8, 19, 4 * FREQUENCY).astype(np.float32)
+    batch = {"raw": jnp.asarray(raw),
+             "y": jnp.asarray(rng.randint(0, 2, 8).astype(np.float32)),
+             "seq_lengths": jnp.full((8,), 4, jnp.int32), "supports": None}
+    key = jax.random.PRNGKey(11)
+
+    out = {}
+    for mode, pipe in pipes.items():
+        loss_fn = supervised_loss_fn(bundle, "detection",
+                                     input_pipeline=pipe)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(p, ms, batch, key, True)[0])
+        loss, grads = grad_fn(params)
+        out[mode] = (np.asarray(loss), grads)
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=2e-5)
+    flat_lit = jax.tree_util.tree_leaves(out[False][1])
+    flat_fast = jax.tree_util.tree_leaves(out[True][1])
+    for a, b in zip(flat_lit, flat_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
 
 
 def test_pipeline_trains_end_to_end(rng):
