@@ -7,9 +7,10 @@ configs/run_dcrnn_detection.sh hyperparameters) on the synthetic corpus to
 convergence in BOTH dtypes through the real CLI, and records the full dev
 AUROC / loss curves plus final test metrics.
 
-The committed artifact (benchmarks/bf16_quality_results.json) is validated
-by tests/test_baselines.py::test_bf16_quality_artifact: test-AUROC gap
-|f32 - bf16| <= 0.01 and both runs well above chance.
+This script writes benchmarks/bf16_quality_results.json, which is gated by
+tests/test_artifacts.py::test_bf16_quality_artifact: test-AUROC gap
+|f32 - bf16| <= 0.01 and both runs well above chance. bench.py's artifact
+freshness check fails loudly if the artifact is missing.
 
 Run serially on the TPU host:  python benchmarks/bf16_quality.py
 """
@@ -24,14 +25,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORPUS = "/tmp/bf16_quality_corpus"
 SAVE_ROOT = "/tmp/bf16_quality_runs"
 OUT = os.path.join(os.path.dirname(__file__), "bf16_quality_results.json")
 
 CLIP_LEN = 60          # the flagship 60 s detection clip length
-NUM_FILES = 20
-FILE_SECONDS = 960
-NUM_EPOCHS = 40
+# Corpus sizing: the balanced detection train split keeps ALL positives +
+# an equal negative sample (reference dataloader_detection.py class
+# balancing), so the effective train-set size is ~2x the positive count —
+# positives scale with num_files (~1.8 positive clips/file). 100 files ->
+# ~360 balanced train clips / ~36 test positives; a 20-file corpus left
+# only 38 train clips and 80 optimizer steps, and the resulting
+# barely-trained model exposed test AUROC as checkpoint-selection noise
+# (round-4 postmortem).
+NUM_FILES = 100
+FILE_SECONDS = 480
+NUM_EPOCHS = 100       # flagship recipe epochs (configs/run_dcrnn_detection.sh)
+CORPUS = f"/tmp/bf16_quality_corpus_{NUM_FILES}x{FILE_SECONDS}"
 
 
 def _corpus():
@@ -71,6 +80,10 @@ def _run(dtype: str, dirs) -> dict:
         "--max_diffusion_step", "2", "--num_classes", "1",
         "--train_batch_size", "32", "--test_batch_size", "32",
         "--num_workers", "2", "--dtype", dtype,
+        # production input path on this link-bound host (numerics match the
+        # streaming loader — tests/test_device_cache.py); without it each
+        # arm spends ~95% of its wall time in host->device batch uploads
+        "--hbm_cache",
     ])
     wall = time.time() - t0
 
@@ -102,7 +115,7 @@ def main():
     dirs = _corpus()
     out = {
         "recipe": "dcrnn_detection flagship (2 layers, 64 units, K=2, "
-                  f"T={CLIP_LEN}, fft, augment, combined graph)",
+                  f"T={CLIP_LEN}, fft, augment, combined graph, hbm_cache)",
         "corpus": {"num_files": NUM_FILES, "file_seconds": FILE_SECONDS,
                    "clip_len": CLIP_LEN, "seed": 7},
         "num_epochs": NUM_EPOCHS,

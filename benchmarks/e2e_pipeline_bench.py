@@ -336,18 +336,21 @@ def bench_hbm_cache(dtype: str):
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
 
+    cache_d = {"x": cache.x, "y": cache.y, "seq": cache.seq}
+
     def run_epoch():
         nonlocal params, ms, opt
         perm, valid_vec = cache.epoch_plan(BATCH, True, rng)
         perm_d = jnp.asarray(perm)
         valid_d = jnp.asarray(valid_vec)
         counter = jnp.int32(0)
+        seen = jnp.int32(0)
         losses = jnp.zeros((len(valid_vec),), jnp.float32)
         epoch_key = key
         for _ in range(len(valid_vec)):
-            params, ms, opt, epoch_key, counter, losses = step(
-                params, ms, opt, epoch_key, counter, losses,
-                cache.x, cache.y, perm_d, valid_d)
+            params, ms, opt, epoch_key, counter, seen, losses = step(
+                params, ms, opt, epoch_key, counter, seen, losses,
+                cache_d, perm_d, valid_d)
         return float(losses[-1])
 
     run_epoch()

@@ -69,15 +69,41 @@ def main(argv=None):
         filter_type=cfg.filter_type, use_fft=cfg.use_fft,
         preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
     )
+    # DP mesh first (cache sizing/sharding depends on it): the data axis
+    # must divide both batch sizes (batches are padded to those fixed
+    # shapes). Shrink to the gcd; 1 device -> no mesh.
+    import math
+
+    n_dev = len(jax.devices())
+    if jax.process_count() > 1:
+        # multi-host meshes must span every process's devices
+        for bs in (cfg.train_batch_size, cfg.test_batch_size):
+            if bs % n_dev:
+                raise ValueError(
+                    f"batch size {bs} must divide the {n_dev} global devices "
+                    "for multi-host training")
+        mesh = make_mesh(f"data:{n_dev}")
+    else:
+        dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size),
+                      cfg.test_batch_size)
+        mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
+
     use_device_pipeline = (
         cfg.device_pipeline
         and cfg.task in ("detection", "SS pre-training")
         and cfg.model_name == "dcrnn"
     )
+    # All three task families cache; classification needs the combined
+    # graph (the correlation graph would see the zero-padding —
+    # DevicePipeline.classification_features)
+    cache_task_ok = (
+        cfg.task in ("detection", "SS pre-training")
+        or (cfg.task == "classification" and cfg.graph_type == "combined")
+    )
     use_hbm_cache = (
         cfg.hbm_cache
-        and cfg.task == "detection"
         and cfg.model_name == "dcrnn"
+        and cache_task_ok
         and jax.process_count() == 1
     )
     input_pipeline = None
@@ -86,48 +112,6 @@ def main(argv=None):
         loaders, _, scaler = load_dataset_detection(
             max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
             raw_mode=use_device_pipeline, **common)
-        if use_device_pipeline or use_hbm_cache:
-            from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
-
-            # the HBM-cache fast path opts into reflection-as-true-
-            # relabeling (exact no-op for this model family; shared
-            # supports — see DIVERGENCES.md "Reflection-invariant supports")
-            input_pipeline = make_device_pipeline(
-                graph_type=cfg.graph_type, filter_type=cfg.filter_type,
-                top_k=cfg.top_k, use_fft=cfg.use_fft,
-                time_step_size=cfg.time_step_size, scaler=scaler,
-                augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
-                num_nodes=cfg.num_nodes, reflect_invariant=use_hbm_cache)
-        if use_hbm_cache:
-            # HBM-resident splits: featurize once on host (plain clips —
-            # augment/standardize/graphs run on device per step), upload
-            # once, gather per step (data/device_cache.py)
-            from eeg_gnn_tpu.data.device_cache import (
-                build_detection_cache,
-                fits_in_hbm,
-            )
-
-            _, plain_datasets, _ = load_dataset_detection(
-                input_dir=cfg.input_dir, raw_data_dir=cfg.raw_data_dir,
-                train_batch_size=cfg.train_batch_size,
-                test_batch_size=cfg.test_batch_size,
-                time_step_size=cfg.time_step_size, standardize=False,
-                num_workers=cfg.num_workers, augmentation=False,
-                adj_mat_dir=None, graph_type=None, use_fft=cfg.use_fft,
-                preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
-                max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123)
-            storage = "bfloat16" if cfg.dtype == "bfloat16" else "float32"
-            n_total = sum(len(d) for d in plain_datasets.values())
-            if fits_in_hbm(n_total, cfg.max_seq_len, cfg.num_nodes,
-                           cfg.input_dim, storage):
-                device_caches = {
-                    split: build_detection_cache(
-                        ds, cfg.max_seq_len, storage_dtype=storage)
-                    for split, ds in plain_datasets.items()
-                }
-            else:
-                print("hbm_cache: splits exceed the HBM budget; falling "
-                      "back to the streaming loader", file=sys.stderr)
     elif cfg.task == "classification":
         if cfg.model_name == "densecnn":
             # reference train.py:92-106 switches to the flat-clip loader
@@ -150,33 +134,105 @@ def main(argv=None):
         loaders, _, scaler = load_dataset_ssl(
             input_len=cfg.max_seq_len, output_len=cfg.output_seq_len,
             raw_mode=use_device_pipeline, **common)
-        if use_device_pipeline:
-            from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
 
-            input_pipeline = make_device_pipeline(
-                graph_type=cfg.graph_type, filter_type=cfg.filter_type,
-                top_k=cfg.top_k, use_fft=cfg.use_fft,
-                time_step_size=cfg.time_step_size, scaler=scaler,
-                augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
-                num_nodes=cfg.num_nodes)
+    if use_device_pipeline or use_hbm_cache:
+        from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
 
-    # DP mesh: the data axis must divide both batch sizes (batches are
-    # padded to those fixed shapes). Shrink to the gcd; 1 device -> no mesh.
-    import math
+        # --reflect_invariant (its own flag; a documented numerics
+        # divergence, NOT implied by --hbm_cache) opts into
+        # reflection-as-true-relabeling: shared supports — see
+        # DIVERGENCES.md "Reflection-invariant supports"
+        input_pipeline = make_device_pipeline(
+            graph_type=cfg.graph_type, filter_type=cfg.filter_type,
+            top_k=cfg.top_k, use_fft=cfg.use_fft,
+            time_step_size=cfg.time_step_size, scaler=scaler,
+            augment=cfg.data_augment, adj_mat_dir=adj_mat_dir,
+            num_nodes=cfg.num_nodes,
+            reflect_invariant=cfg.reflect_invariant)
 
-    n_dev = len(jax.devices())
-    if jax.process_count() > 1:
-        # multi-host meshes must span every process's devices
-        for bs in (cfg.train_batch_size, cfg.test_batch_size):
-            if bs % n_dev:
-                raise ValueError(
-                    f"batch size {bs} must divide the {n_dev} global devices "
-                    "for multi-host training")
-        mesh = make_mesh(f"data:{n_dev}")
-    else:
-        dp = math.gcd(math.gcd(n_dev, cfg.train_batch_size),
-                      cfg.test_batch_size)
-        mesh = make_mesh(f"data:{dp}", jax.devices()[:dp]) if dp > 1 else None
+    if use_hbm_cache:
+        # HBM-resident splits: featurize once on host (plain clips —
+        # augment/standardize/graphs run on device per step), upload
+        # once, gather per step (data/device_cache.py). With a mesh only
+        # the train split caches (row-sharded in the trainer; eval
+        # streams), and the HBM budget scales with the data-axis size.
+        from eeg_gnn_tpu.data.device_cache import (
+            build_classification_cache,
+            build_detection_cache,
+            build_ssl_cache,
+            fits_in_hbm,
+        )
+
+        plain_common = dict(
+            input_dir=cfg.input_dir, raw_data_dir=cfg.raw_data_dir,
+            train_batch_size=cfg.train_batch_size,
+            test_batch_size=cfg.test_batch_size,
+            time_step_size=cfg.time_step_size, standardize=False,
+            num_workers=cfg.num_workers, augmentation=False,
+            adj_mat_dir=None, graph_type=None, use_fft=cfg.use_fft,
+            preproc_dir=cfg.preproc_dir, marker_dir=marker_dir,
+            build_loaders=False)
+        storage = "bfloat16" if cfg.dtype == "bfloat16" else "float32"
+        t_out = 0
+        if cfg.task == "detection":
+            _, plain, _ = load_dataset_detection(
+                max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
+                **plain_common)
+
+            def build(ds):
+                return build_detection_cache(
+                    ds, cfg.max_seq_len, storage_dtype=storage,
+                    num_workers=cfg.num_workers)
+        elif cfg.task == "SS pre-training":
+            t_out = cfg.output_seq_len
+            _, plain, _ = load_dataset_ssl(
+                input_len=cfg.max_seq_len, output_len=cfg.output_seq_len,
+                **plain_common)
+
+            def build(ds):
+                return build_ssl_cache(
+                    ds, cfg.max_seq_len, storage_dtype=storage,
+                    num_workers=cfg.num_workers)
+        else:
+            _, plain, _ = load_dataset_classification(
+                max_seq_len=cfg.max_seq_len, padding_val=0.0,
+                **plain_common)
+
+            def build(ds):
+                return build_classification_cache(
+                    ds, cfg.max_seq_len, storage_dtype=storage,
+                    num_workers=cfg.num_workers)
+
+        cache_splits = ["train"] if mesh is not None else list(plain)
+        n_total = sum(len(plain[s]) for s in cache_splits)
+        n_dev_cache = mesh.shape["data"] if mesh is not None else 1
+        if fits_in_hbm(n_total, cfg.max_seq_len, cfg.num_nodes,
+                       cfg.input_dim, storage, t_out=t_out,
+                       num_devices=n_dev_cache):
+            device_caches = {s: build(plain[s]) for s in cache_splits}
+        elif mesh is None:
+            # beyond-HBM: chunked rotating cache — fixed-shape shards
+            # double-buffered through HBM, upload overlapped with steps
+            # (data/rotating_cache.py; replaces the round-3 silent
+            # streaming cliff)
+            from eeg_gnn_tpu.data.rotating_cache import build_rotating_cache
+
+            kind = {"detection": "detection", "SS pre-training": "ssl",
+                    "classification": "classification"}[cfg.task]
+            device_caches = {
+                s: build_rotating_cache(
+                    plain[s], cfg.max_seq_len, kind, storage_dtype=storage,
+                    num_workers=cfg.num_workers)
+                for s in cache_splits
+            }
+            print("hbm_cache: split exceeds the HBM budget; using the "
+                  "chunked rotating cache "
+                  f"({device_caches['train'].num_shards} shards, "
+                  "double-buffered H2D)", file=sys.stderr)
+        else:
+            print("hbm_cache: splits exceed the per-device HBM budget on "
+                  "this mesh; falling back to the streaming loader",
+                  file=sys.stderr)
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
                              mesh=mesh, input_pipeline=input_pipeline,
                              device_caches=device_caches)

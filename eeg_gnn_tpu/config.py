@@ -69,8 +69,12 @@ class ExperimentConfig:
     mesh_shape: str = "data:-1"  # e.g. "data:8" / "data:4,graph:2"
     device_pipeline: bool = False  # fused on-device input pipeline (raw clips in)
     hbm_cache: bool = False  # keep the featurized splits resident in device
-    # HBM and gather batches in-step (detection+dcrnn, single process;
+    # HBM and gather batches in-step (dcrnn family, single process;
     # data/device_cache.py — for hosts where H2D can't feed the chip)
+    reflect_invariant: bool = False  # combined-graph reflection augmentation
+    # as a true node relabeling (shared supports — the kernels' fast path).
+    # DIVERGENCE from the reference's literal swapped adjacency at the
+    # multi-pair intersection entries; see DIVERGENCES.md.
     use_pallas: bool = False  # Pallas kernels for diffusion (auto where safe)
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
@@ -200,7 +204,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "Fused on-device input pipeline (featurize+graphs in-step).")
     _add_bool_flag(p, "hbm_cache",
                    "Keep featurized splits resident in device HBM; batches "
-                   "are gathered in-step (detection+dcrnn, single process).")
+                   "are gathered in-step (dcrnn family, single process). "
+                   "Numerics match the streaming loader; combine with "
+                   "--reflect_invariant for the shared-support fast path.")
+    _add_bool_flag(p, "reflect_invariant",
+                   "Treat combined-graph reflection augmentation as a true "
+                   "node relabeling: supports stay ONE shared slab (the "
+                   "kernels' fast path) instead of per-clip stacks. "
+                   "DIVERGES from the reference's literal swapped adjacency "
+                   "at multi-pair intersection entries (DIVERGENCES.md "
+                   "'Reflection-invariant supports'); exact-gradient "
+                   "equivalence holds for deterministic models (dropout 0).")
     _add_bool_flag(p, "use_pallas", "Use Pallas diffusion kernels.")
     p.add_argument("--scan_unroll", type=int, default=d.scan_unroll)
     p.add_argument("--fused_steps", type=int, default=d.fused_steps,

@@ -407,16 +407,23 @@ class RawSSLDataset(SSLDataset):
 # ---------------------------------------------------------------------------
 
 
-def _make_loaders(dataset_fn, train_batch_size, test_batch_size, num_workers):
+def _make_loaders(dataset_fn, train_batch_size, test_batch_size, num_workers,
+                  build_loaders=True):
     # Multi-host: each process materializes only its slice of every global
     # batch (identical seeded shuffles across processes make this a true
     # partition; see parallel/distributed.py).
+    # ``build_loaders=False`` returns only the datasets — HBM-cache
+    # materialization (cli/train.py) reads datasets directly and would
+    # otherwise construct DataLoaders that are immediately discarded.
     from eeg_gnn_tpu.parallel.distributed import process_shard
 
     shard = process_shard()
     dataloaders, datasets = {}, {}
     for split in ["train", "dev", "test"]:
         ds = dataset_fn(split)
+        datasets[split] = ds
+        if not build_loaders:
+            continue
         is_train = split == "train"
         dataloaders[split] = DataLoader(
             ds,
@@ -425,7 +432,6 @@ def _make_loaders(dataset_fn, train_batch_size, test_batch_size, num_workers):
             num_workers=num_workers,
             process_shard=shard,
         )
-        datasets[split] = ds
     return dataloaders, datasets
 
 
@@ -443,7 +449,7 @@ def load_dataset_detection(input_dir, raw_data_dir, train_batch_size,
                            graph_type=None, top_k=None,
                            filter_type="laplacian", use_fft=False,
                            sampling_ratio=1, seed=123, preproc_dir=None,
-                           marker_dir=None, raw_mode=False):
+                           marker_dir=None, raw_mode=False, build_loaders=True):
     """Parity: ``load_dataset_detection`` (dataloader_detection.py:419-525).
     ``marker_dir`` points at the file-marker directory (the reference
     hard-codes its repo-relative path). ``raw_mode`` emits raw clips for the
@@ -469,7 +475,7 @@ def load_dataset_detection(input_dir, raw_data_dir, train_batch_size,
         )
 
     loaders, datasets = _make_loaders(make, train_batch_size, test_batch_size,
-                                      num_workers)
+                                      num_workers, build_loaders)
     return loaders, datasets, scaler
 
 
@@ -480,7 +486,7 @@ def load_dataset_classification(input_dir, raw_data_dir, train_batch_size,
                                 augmentation=False, adj_mat_dir=None,
                                 graph_type="combined", top_k=None,
                                 filter_type="laplacian", use_fft=False,
-                                preproc_dir=None, marker_dir=None):
+                                preproc_dir=None, marker_dir=None, build_loaders=True):
     """Parity: ``load_dataset_classification``
     (dataloader_classification.py:372-469)."""
     if graph_type is not None and graph_type not in ["individual", "combined"]:
@@ -502,7 +508,7 @@ def load_dataset_classification(input_dir, raw_data_dir, train_batch_size,
         )
 
     loaders, datasets = _make_loaders(make, train_batch_size, test_batch_size,
-                                      num_workers)
+                                      num_workers, build_loaders)
     return loaders, datasets, scaler
 
 
@@ -541,7 +547,8 @@ def load_dataset_ssl(input_dir, raw_data_dir, train_batch_size,
                      output_len=12, standardize=True, num_workers=8,
                      augmentation=False, adj_mat_dir=None, graph_type=None,
                      top_k=None, filter_type="laplacian", use_fft=False,
-                     preproc_dir=None, marker_dir=None, raw_mode=False):
+                     preproc_dir=None, marker_dir=None, raw_mode=False,
+                     build_loaders=True):
     """Parity: ``load_dataset_ssl`` (dataloader_ssl.py:364-461)."""
     if graph_type is not None and graph_type not in ["individual", "combined"]:
         raise NotImplementedError
@@ -563,5 +570,5 @@ def load_dataset_ssl(input_dir, raw_data_dir, train_batch_size,
         )
 
     loaders, datasets = _make_loaders(make, train_batch_size, test_batch_size,
-                                      num_workers)
+                                      num_workers, build_loaders)
     return loaders, datasets, scaler

@@ -6,20 +6,35 @@ hosts is host->device transfer, not the step (benchmarks/
 e2e_pipeline_results.json: H2D sustains ~0.03 GB/s over the axon tunnel —
 a 29 MB feature batch costs ~100x the 11 ms step). The reference streams
 every batch from host DataLoader workers each epoch
-(dataloader_detection.py:356-416); at TPU speeds that wastes the chip
-whenever the link is slower than ~5 GB/s. The flagship detection split is
-small — ~10k clips x (60, 19, 100) bf16 = ~2.3 GB — so the TPU-native
-answer is to keep the WHOLE split in HBM (v5e: 16 GB) and move only a
-(B,) int32 index vector per step.
+(dataloader_detection.py:356-416, dataloader_ssl.py:282-361); at TPU
+speeds that wastes the chip whenever the link is slower than ~5 GB/s. The
+flagship detection split is small — ~10k clips x (60, 19, 100) bf16 =
+~2.3 GB — so the TPU-native answer is to keep the WHOLE split in HBM
+(v5e: 16 GB) and move only a (B,) int32 index vector per step.
 
-Per-step data math runs on device via ``DevicePipeline.features`` —
-identical semantics to the host loader (augment THEN standardize,
-reflection support choice); the gather fuses into the same XLA program as
-the model. Shuffling stays on host (a seeded permutation of indices per
-epoch, matching ``data/loader.py`` order when seeded identically).
+Per-step data math runs on device via ``DevicePipeline.features`` /
+``ssl_features`` / ``classification_features`` — identical semantics to
+the host loader (augment THEN standardize, reflection support choice);
+the gather fuses into the same XLA program as the model. Shuffling stays
+on host (a seeded permutation of indices per epoch, matching
+``data/loader.py`` order when seeded identically).
+
+All three task families are cacheable (round 4; round 3 was
+detection-only): detection (x feats + float labels), SSL (x feats +
+y-target feats), classification (PADDED x feats + int labels + per-clip
+seq_lengths; combined graph only — see
+``DevicePipeline.classification_features``).
+
+Scale-out: :func:`shard_cache` re-places a cache's arrays row-sharded
+over a mesh's ``data`` axis so per-device HBM holds 1/p of the split;
+:meth:`DeviceDatasetCache.mesh_epoch_plan` builds per-device local index
+plans (each device gathers ONLY its own shard — no cross-device
+collective in the input path). See ``train/step.py:
+make_mesh_cached_train_step``.
 
 Memory guard: :func:`fits_in_hbm` estimates footprint so callers can fall
-back to the streaming loader for splits that don't fit.
+back to the streaming loader (or the chunked rotating cache,
+``data/rotating_cache.py``) for splits that don't fit.
 """
 
 from __future__ import annotations
@@ -35,34 +50,53 @@ class DeviceDatasetCache:
     Args:
         feats: (num_clips, T, N, D) UN-augmented, UN-standardized features
             (augment/standardize run on device per step — same order as the
-            host path).
-        labels: (num_clips,) float labels (detection) or int labels.
-        seq_len: value for the constant ``seq_lengths`` vector.
+            host path). For classification, zero-PADDED to T with the true
+            lengths in ``seq_lengths``.
+        labels: (num_clips,) float labels (detection), int labels
+            (classification), or (num_clips, T_out, N, D) target features
+            (SSL — rides the same ``cache_y`` slot; the SSL loss treats it
+            as features).
+        seq_len: value for the constant ``seq_lengths`` vector when
+            ``seq_lengths`` is None.
         storage_dtype: 'bfloat16' halves HBM + upload (features are cast
             to the compute dtype by the model's first op anyway);
             'float32' for exact host-path parity.
+        seq_lengths: optional (num_clips,) int32 per-clip true lengths
+            (classification); gathered per batch on device.
     """
 
     def __init__(self, feats: np.ndarray, labels: np.ndarray, seq_len: int,
-                 storage_dtype: str = "float32", names=None):
+                 storage_dtype: str = "float32", names=None,
+                 seq_lengths: Optional[np.ndarray] = None):
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if storage_dtype == "bfloat16" else jnp.float32
         # one bulk H2D each; everything after this is device-side
         self.x = jnp.asarray(np.asarray(feats), dtype=dt)
-        self.y = jnp.asarray(np.asarray(labels, np.float32))
+        labels = np.asarray(labels, np.float32)
+        # SSL target features share the label slot (and the storage dtype)
+        self.y = jnp.asarray(labels, dtype=dt if labels.ndim > 1
+                             else jnp.float32)
+        self.seq = (None if seq_lengths is None
+                    else jnp.asarray(np.asarray(seq_lengths, np.int32)))
         self.num_clips = int(self.x.shape[0])
         self.seq_len = int(seq_len)
         self.names = (list(names) if names is not None
                       else [str(i) for i in range(self.num_clips)])
-        self._labels_host = np.asarray(labels, np.float32)
+        self._labels_host = labels if labels.ndim == 1 else None
+        self._seq_host = (None if seq_lengths is None
+                          else np.asarray(seq_lengths, np.int32))
         self._seq_cache = {}  # batch size -> resident seq_lengths vector
 
     def __len__(self):
         return self.num_clips
 
     def nbytes(self) -> int:
-        return self.x.size * self.x.dtype.itemsize + self.y.size * 4
+        n = self.x.size * self.x.dtype.itemsize
+        n += self.y.size * self.y.dtype.itemsize
+        if self.seq is not None:
+            n += self.seq.size * 4
+        return n
 
     def epoch_index_batches(self, batch_size: int, shuffle: bool,
                             rng: np.random.RandomState,
@@ -98,6 +132,46 @@ class DeviceDatasetCache:
         valid = np.asarray([p[1] for p in plan], np.int32)
         return perm, valid
 
+    def mesh_epoch_plan(self, batch_size: int, num_devices: int,
+                        shuffle: bool, rng: np.random.RandomState):
+        """Per-device epoch plan for a row-sharded cache (:func:`shard_cache`).
+
+        Device d owns rows [d*block, (d+1)*block) of the padded cache and
+        draws its per-step rows ONLY from that shard (sharded shuffling —
+        the standard data-parallel loader semantics; each epoch every real
+        clip is visited exactly once). Returns
+        (idx_mat (K, B) int32 of LOCAL row indices laid out
+        [dev0 rows | dev1 rows | ...] per step, mask_mat (K, B) bool) —
+        padded slots repeat a real local row with mask False, so every
+        device runs the same K steps and the loss masks by the boolean
+        row mask (train/losses.py:_row_mask).
+        """
+        p = num_devices
+        if batch_size % p:
+            raise ValueError(f"batch size {batch_size} must divide over "
+                             f"{p} devices")
+        b_local = batch_size // p
+        block = -(-self.num_clips // p)  # padded rows per device
+        # real rows per device (the pad tail lives on the last device)
+        real = [min(block, max(0, self.num_clips - d * block))
+                for d in range(p)]
+        k_steps = max(-(-r // b_local) for r in real)
+        idx = np.zeros((k_steps, p, b_local), np.int32)
+        mask = np.zeros((k_steps, p, b_local), bool)
+        for d in range(p):
+            order = np.arange(real[d], dtype=np.int32)
+            if shuffle:
+                rng.shuffle(order)
+            flat = np.full((k_steps * b_local,),
+                           order[0] if real[d] else 0, np.int32)
+            flat[: real[d]] = order
+            idx[:, d, :] = flat.reshape(k_steps, b_local)
+            m = np.zeros((k_steps * b_local,), bool)
+            m[: real[d]] = True
+            mask[:, d, :] = m.reshape(k_steps, b_local)
+        return idx.reshape(k_steps, p * b_local), mask.reshape(
+            k_steps, p * b_local)
+
     def device_batch(self, idx: np.ndarray, valid: int):
         """Assemble the train-step batch dict: the cache rides along as a
         device array argument (NOT a jit constant — passing it as an
@@ -106,7 +180,8 @@ class DeviceDatasetCache:
         transfers them with the dispatch; eager per-leaf ``jnp.asarray``
         would cost one tunnel round-trip EACH per step (measured ~2 ms of
         the 11 ms step on the axon runtime). ``seq_lengths`` is memoized
-        on device per batch size."""
+        on device per batch size (constant-length tasks only; for
+        classification the true lengths are gathered in the loss)."""
         import jax.numpy as jnp
 
         b = len(idx)
@@ -117,6 +192,7 @@ class DeviceDatasetCache:
         return {
             "cache_x": self.x,
             "cache_y": self.y,
+            "cache_seq": self.seq,
             "idx": np.ascontiguousarray(idx, np.int32),
             "x": None, "y": None,
             "seq_lengths": seq,
@@ -127,16 +203,37 @@ class DeviceDatasetCache:
 
 def fits_in_hbm(num_clips: int, t: int, n: int, d: int,
                 storage_dtype: str = "bfloat16",
-                budget_bytes: int = 12 * 2 ** 30) -> bool:
+                budget_bytes: int = 12 * 2 ** 30, t_out: int = 0,
+                num_devices: int = 1) -> bool:
     """Conservative footprint check (leaves >=4 GB of a 16 GB v5e for
-    params/activations/workspace at flagship scale)."""
+    params/activations/workspace at flagship scale). ``t_out`` adds the
+    SSL target-feature rows; ``num_devices`` scales the budget for
+    row-sharded caches (each device holds 1/p of the split)."""
     itemsize = 2 if storage_dtype == "bfloat16" else 4
-    return num_clips * t * n * d * itemsize <= budget_bytes
+    need = num_clips * (t + t_out) * n * d * itemsize
+    return need <= budget_bytes * num_devices
+
+
+def _materialize(dataset, pick, num_workers: int = 0):
+    """Featurize every clip of ``dataset`` via ``pick(item) -> tuple``,
+    optionally with a thread pool (h5py/numpy release the GIL for the
+    bulk of the work; a serial dataset[i] loop at flagship scale costs
+    avoidable minutes of startup — ADVICE r3)."""
+    n = len(dataset)
+    if num_workers and num_workers > 1 and n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            rows = list(pool.map(lambda i: pick(dataset[i]), range(n)))
+    else:
+        rows = [pick(dataset[i]) for i in range(n)]
+    return rows
 
 
 def build_detection_cache(dataset, seq_len: int,
                           storage_dtype: str = "float32",
-                          scaler=None) -> DeviceDatasetCache:
+                          scaler=None, num_workers: int = 0
+                          ) -> DeviceDatasetCache:
     """Materialize a cache from a Dataset yielding reference-layout tuples.
 
     The dataset must be constructed with ``augmentation=False`` and
@@ -144,11 +241,84 @@ def build_detection_cache(dataset, seq_len: int,
     asserting that here would require peeking internals, so callers own it
     (cli/train.py does).
     """
-    xs, ys, names = [], [], []
-    for i in range(len(dataset)):
-        x, y, _, _, _, name = dataset[i]
-        xs.append(np.asarray(x, np.float32))
-        ys.append(np.float32(y))
-        names.append(name)
+    rows = _materialize(
+        dataset,
+        lambda item: (np.asarray(item[0], np.float32),
+                      np.float32(item[1]), item[5]),
+        num_workers)
+    xs, ys, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.asarray(ys), seq_len,
                               storage_dtype=storage_dtype, names=names)
+
+
+def build_ssl_cache(dataset, input_len: int,
+                    storage_dtype: str = "float32",
+                    num_workers: int = 0) -> DeviceDatasetCache:
+    """SSL pair cache: x feats in ``x``, next-window target feats in the
+    ``y`` slot. Dataset must be built with ``augmentation=False``,
+    ``standardize=False`` (the joint augment + z-score run on device,
+    ``DevicePipeline.ssl_features``). Ref hot loop being replaced:
+    dataloader_ssl.py:282-361."""
+    rows = _materialize(
+        dataset,
+        lambda item: (np.asarray(item[0], np.float32),
+                      np.asarray(item[1], np.float32), item[5]),
+        num_workers)
+    xs, ys, names = zip(*rows)
+    return DeviceDatasetCache(np.stack(xs), np.stack(ys), input_len,
+                              storage_dtype=storage_dtype, names=names)
+
+
+def build_classification_cache(dataset, seq_len: int,
+                               storage_dtype: str = "float32",
+                               num_workers: int = 0) -> DeviceDatasetCache:
+    """Classification cache: PADDED feats + int labels + true lengths.
+
+    The un-augmented clip is padded with zeros here; the device tail
+    re-pins the padding after augment+standardize
+    (``DevicePipeline.classification_features``), reproducing the host
+    order pad(standardize(augment(clip))). Combined graph only."""
+    rows = _materialize(
+        dataset,
+        lambda item: (np.asarray(item[0], np.float32),
+                      np.int32(item[1]), np.int32(item[2]), item[5]),
+        num_workers)
+    xs, ys, lens, names = zip(*rows)
+    return DeviceDatasetCache(np.stack(xs), np.asarray(ys, np.float32),
+                              seq_len, storage_dtype=storage_dtype,
+                              names=names,
+                              seq_lengths=np.asarray(lens, np.int32))
+
+
+def shard_cache(cache: DeviceDatasetCache, mesh) -> DeviceDatasetCache:
+    """Re-place a cache row-sharded over the mesh's ``data`` axis.
+
+    Rows are padded (repeating row 0; never indexed by
+    :meth:`mesh_epoch_plan`'s masks) to a multiple of the axis size, then
+    each array is ``device_put`` with a ``P('data', ...)`` sharding — one
+    bulk transfer per device, per-device HBM = 1/p of the split.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p = mesh.shape["data"]
+    n = cache.num_clips
+    n_pad = -(-n // p) * p
+
+    def pad_rows(a):
+        if a is None or n_pad == n:
+            return a
+        reps = jnp.repeat(a[:1], n_pad - n, axis=0)
+        return jnp.concatenate([a, reps], axis=0)
+
+    def put(a):
+        if a is None:
+            return None
+        spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+        return jax.device_put(pad_rows(a), NamedSharding(mesh, spec))
+
+    cache.x = put(cache.x)
+    cache.y = put(cache.y)
+    cache.seq = put(cache.seq)
+    return cache

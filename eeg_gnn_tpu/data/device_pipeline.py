@@ -71,8 +71,11 @@ class DevicePipeline:
     # supports commute with P for all filter types (degree/λmax/
     # normalizations are permutation-equivariant). Under that semantics the
     # reflected sample yields EXACTLY the unreflected loss and gradients
-    # (tests/test_device_pipeline.py::test_reflect_invariant_fast_path_
-    # exact proves it on the real model), so reflection is skipped and
+    # for a deterministic apply (tests/test_device_pipeline.py::
+    # test_reflect_invariant_fast_path_exact proves it on the real model at
+    # dropout=0; with dropout > 0 the per-position mask is not
+    # permutation-equivariant, so the two are only distributionally
+    # equivalent). Reflection is therefore skipped and
     # supports stay ONE shared (S, N, N) slab — the kernels'
     # shared-operator fast path — instead of per-clip (S, B, N, N) stacks.
     # DIVERGENCE (opt-in, default False): the reference's swapped adjacency
@@ -148,6 +151,22 @@ class DevicePipeline:
             supports = self.dist_supports  # shared (S, N, N) slab
         return x, supports
 
+    def classification_features(self, feats, seq_lengths, rng,
+                                training: bool, padding_val: float = 0.0):
+        """Classification tail for ALREADY-featurized PADDED (B, T, C, D)
+        clips (data/device_cache.py): run the standard tail, then re-pin
+        rows t >= seq_len to ``padding_val`` — the host path pads AFTER
+        augment+standardize (dataloader_classification.py:334-352), so the
+        padding region must not pick up the additive scale or the z-score
+        shift. Combined graph only (the correlation graph would see the
+        padding; cli/train.py gates accordingly)."""
+        x, supports = self.features(feats, rng, training)
+        t = x.shape[1]
+        row_mask = jnp.arange(t)[None, :] < seq_lengths[:, None]  # (B, T)
+        x = jnp.where(row_mask[:, :, None, None], x,
+                      jnp.asarray(padding_val, x.dtype))
+        return x, supports
+
     def ssl(self, raw_x, raw_y, rng, training: bool):
         """SSL pair featurization: (raw_x (B,C,Lx), raw_y (B,C,Ly)) ->
         (x, y, supports).
@@ -160,38 +179,62 @@ class DevicePipeline:
 
         fx = featurize_clip(raw_x, self.time_step_size, FREQUENCY, self.use_fft)
         fy = featurize_clip(raw_y, self.time_step_size, FREQUENCY, self.use_fft)
+        return self.ssl_features(fx, fy, rng, training)
+
+    def ssl_features(self, fx, fy, rng, training: bool):
+        """SSL tail for ALREADY-featurized (B, T, C, D) x/y pairs — entry
+        point for the HBM-resident SSL cache (data/device_cache.py). One
+        reflect decision + scale factor applies to BOTH clips; the graph
+        comes from the un-augmented x features (dataloader_ssl.py:315-349).
+        """
         b = fx.shape[0]
 
         do_aug = self.augment and training
+        combined = self.graph_type != "individual"
+        # same fast path as features(): for the combined graph under
+        # reflect_invariant, the joint reflection of (x, y, A) is a pure
+        # node relabeling, so it is skipped and supports stay shared
+        do_reflect = do_aug and not (combined and self.reflect_invariant)
         if do_aug:
             k_ref, k_scale = jax.random.split(rng)
             reflect = jax.random.bernoulli(k_ref, 0.5, (b,))
             scale = jax.random.uniform(k_scale, (b,), minval=0.8, maxval=1.2)
 
             def aug(f):
-                refl = f[:, :, self.node_perm, :]
-                out = jnp.where(reflect[:, None, None, None], refl, f)
+                if do_reflect:
+                    refl = f[:, :, self.node_perm, :]
+                    out = jnp.where(reflect[:, None, None, None], refl, f)
+                else:
+                    out = f
                 if self.use_fft:
-                    return out + jnp.log(scale)[:, None, None, None]
-                return out * scale[:, None, None, None]
+                    return out + jnp.log(scale).astype(f.dtype)[
+                        :, None, None, None]
+                return out * scale.astype(f.dtype)[:, None, None, None]
 
             ax, ay = aug(fx), aug(fy)
         else:
             reflect = jnp.zeros((b,), bool)
             ax, ay = fx, fy
 
-        x = (ax - self.mean) / self.std
-        y = (ay - self.mean) / self.std
+        x = (ax - jnp.asarray(self.mean, ax.dtype)) / jnp.asarray(
+            self.std, ax.dtype)
+        y = (ay - jnp.asarray(self.mean, ay.dtype)) / jnp.asarray(
+            self.std, ay.dtype)
 
         if self.graph_type == "individual":
-            adj = correlation_adjacency_jnp(fx, top_k=self.top_k)
+            # reference quirk: graph from the UN-augmented x features
+            # (top-k tie-breaks want full precision — upcast bf16 storage)
+            adj = correlation_adjacency_jnp(fx.astype(jnp.float32),
+                                            top_k=self.top_k)
             supports = compute_supports_jnp(adj, self.filter_type)
-        else:
+        elif do_reflect:
             supports = jnp.where(
                 reflect[None, :, None, None],
                 self.dist_supports_swapped[:, None],
                 self.dist_supports[:, None],
             )
+        else:
+            supports = self.dist_supports  # shared (S, N, N) slab
         return x, y, supports
 
 

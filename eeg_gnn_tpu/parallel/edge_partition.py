@@ -18,9 +18,15 @@ Round-3 redesign (VERDICT r2 weak #5): the previous version accumulated a
 FULL (N, D) partial per device before a ``psum_scatter``, so per-device
 memory was O(N*D) regardless of p. Now per-device peak memory is
 O(N/p * D) for the owned output block + O(N/p * D) for the circulating X
-block + O(E/p) edges — it actually scales. Node count and edge count are
-padded (`partition_by_dest`), lifting the old p | N and p | E
-restrictions; padding edges carry value 0 so they contribute nothing.
+block + O(E/p) edges + O(E/p * D) for the per-ring-step gathered-edge
+temporary (``x_blk[local_idx] * vals`` materializes before the
+scatter-add) — every term scales as 1/p. The measured per-device budget
+is pinned by ``tests/test_sparse_distributed.py::
+test_ring_spmm_per_device_memory`` via the compiled executable's
+``memory_analysis()``, so a regression to any full-N temporary fails
+loudly. Node count and edge count are padded (`partition_by_dest`),
+lifting the old p | N and p | E restrictions; padding edges carry value 0
+so they contribute nothing.
 
 This is greenfield relative to the reference (which has no distributed
 support, SURVEY.md §2.7); it generalizes the framework beyond 19-node clip

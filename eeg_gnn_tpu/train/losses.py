@@ -20,7 +20,15 @@ import jax.numpy as jnp
 
 
 def _row_mask(n_rows: int, valid, dtype):
-    """(n_rows,) mask: 1.0 for rows < valid, else 0.0."""
+    """(n_rows,) mask: 1.0 for valid rows.
+
+    ``valid`` is either a scalar count (trainer-padded batches: the pad is
+    a contiguous tail, rows < valid are real) or a (n_rows,) boolean mask
+    (mesh-sharded cache plans, where each device pads its own shard so
+    real rows are not contiguous in the global batch)."""
+    valid = jnp.asarray(valid)
+    if valid.ndim == 1:
+        return valid.astype(dtype)
     return (jnp.arange(n_rows) < valid).astype(dtype)
 
 
@@ -37,7 +45,7 @@ def bce_with_logits(logits, targets, valid=None):
     if valid is None:
         return jnp.mean(loss)
     mask = _row_mask(loss.shape[0], valid, loss.dtype)
-    return jnp.sum(loss * mask) / valid.astype(loss.dtype)
+    return jnp.sum(loss * mask) / jnp.sum(mask)
 
 
 def cross_entropy(logits, targets, valid=None):
@@ -48,7 +56,7 @@ def cross_entropy(logits, targets, valid=None):
         return -jnp.mean(picked)
     picked = picked.reshape(-1)
     mask = _row_mask(picked.shape[0], valid, picked.dtype)
-    return -jnp.sum(picked * mask) / valid.astype(picked.dtype)
+    return -jnp.sum(picked * mask) / jnp.sum(mask)
 
 
 def masked_mae_loss(y_pred, y_true, mask_val: float = 0.0, valid=None):

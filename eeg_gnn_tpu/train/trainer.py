@@ -81,10 +81,11 @@ class Trainer:
         self.input_pipeline = input_pipeline
         # HBM-resident split caches {split: DeviceDatasetCache} — when a
         # split is cached, its batches are gathered on device and the
-        # loader is bypassed entirely (data/device_cache.py). Supervised
-        # tasks only (the SSL step streams raw x/y pairs).
+        # loader is bypassed entirely (data/device_cache.py). All three
+        # task families cache (round 4); with a mesh the TRAIN cache is
+        # row-sharded over the data axis and eval splits stream.
         self.is_ssl = cfg.task == "SS pre-training"
-        self.device_caches = (device_caches or {}) if not self.is_ssl else {}
+        self.device_caches = device_caches or {}
         # loader batches carry RAW clips only when the loaders were built in
         # raw_mode (--device_pipeline); with --hbm_cache alone the pipeline
         # serves cached features and streaming batches stay featurized
@@ -103,6 +104,7 @@ class Trainer:
         if self.is_ssl:
             mean = None if scaler is None else jnp.float32(scaler.mean)
             std = None if scaler is None else jnp.float32(scaler.std)
+            self.loss_mean, self.loss_std = mean, std
             self.loss_fn = ssl_loss_fn(cfg.dcrnn_config(), mean, std,
                                        input_pipeline=input_pipeline)
             self.train_step = make_train_step(self.loss_fn, self.optimizer,
@@ -114,21 +116,59 @@ class Trainer:
             self.train_step = make_train_step(self.loss_fn, self.optimizer)
         self.eval_step = make_eval_step(self.loss_fn)
 
+        from eeg_gnn_tpu.data.rotating_cache import RotatingDeviceCache
+
         self.fused_steps = max(1, getattr(cfg, "fused_steps", 1))
+        self.cache_is_mesh = False
+        self._rotating = isinstance(self.device_caches.get("train"),
+                                    RotatingDeviceCache)
         if "train" in self.device_caches:
-            if self.fused_steps > 1:
+            seq_len = self.device_caches["train"].seq_len
+            if mesh is not None and self._rotating:
+                raise NotImplementedError(
+                    "rotating cache + mesh: row-shard a resident cache "
+                    "instead (cli/train.py never builds this combination)")
+            if mesh is not None:
+                # row-shard the train cache over the data axis (per-device
+                # HBM holds 1/p of the split); eval splits stream through
+                # the regular mesh path
+                from eeg_gnn_tpu.data.device_cache import shard_cache
+                from eeg_gnn_tpu.train.step import (
+                    local_cache_gather,
+                    make_mesh_cached_train_step,
+                )
+
+                self.device_caches = {
+                    "train": shard_cache(self.device_caches["train"], mesh)}
+                gather = local_cache_gather(mesh)
+                if self.is_ssl:
+                    mesh_loss = ssl_loss_fn(cfg.dcrnn_config(),
+                                            self.loss_mean, self.loss_std,
+                                            input_pipeline=input_pipeline,
+                                            cache_gather=gather)
+                else:
+                    mesh_loss = supervised_loss_fn(bundle, cfg.task,
+                                                   input_pipeline=input_pipeline,
+                                                   cache_gather=gather)
+                self.cached_train_step = make_mesh_cached_train_step(
+                    mesh_loss, self.optimizer, seq_len,
+                    cfg.train_batch_size, has_batches_seen=self.is_ssl)
+                self.cache_is_mesh = True
+                if self.fused_steps > 1:
+                    log.warning("fused_steps is ignored on the mesh-sharded "
+                                "cached path (per-step dispatch)")
+            elif self.fused_steps > 1:
                 from eeg_gnn_tpu.train.step import make_cached_epoch_step
 
                 self.cached_epoch_step = make_cached_epoch_step(
-                    self.loss_fn, self.optimizer,
-                    self.device_caches["train"].seq_len)
+                    self.loss_fn, self.optimizer, seq_len,
+                    has_batches_seen=self.is_ssl)
             else:
                 from eeg_gnn_tpu.train.step import make_cached_train_step
 
                 self.cached_train_step = make_cached_train_step(
-                    self.loss_fn, self.optimizer,
-                    self.device_caches["train"].seq_len,
-                    cfg.train_batch_size)
+                    self.loss_fn, self.optimizer, seq_len,
+                    cfg.train_batch_size, has_batches_seen=self.is_ssl)
         if self.fused_steps > 1:
             from eeg_gnn_tpu.train.step import make_multi_train_step
 
@@ -206,6 +246,41 @@ class Trainer:
 
     # -- training ----------------------------------------------------------
 
+    def _run_cached_steps(self, params, model_state, opt_state, rng,
+                          cache_d, perm, valid_vec, seen_base):
+        """Run the cached-step program over one (perm, valid_vec) plan —
+        a whole resident epoch, or one rotating shard. Honors
+        --fused_steps by scanning chunks of that many optimizer steps.
+        Returns (params, model_state, opt_state, rng, losses np (K,))."""
+        k_steps = len(valid_vec)
+        if self.fused_steps > 1:
+            rng, *subs = jax.random.split(rng, k_steps + 1)
+            idx_mat = perm.reshape(k_steps, -1)
+            subs = jnp.stack(subs)
+            parts = []
+            base = seen_base
+            for lo in range(0, k_steps, self.fused_steps):
+                hi = min(lo + self.fused_steps, k_steps)
+                params, model_state, opt_state, ls = self.cached_epoch_step(
+                    params, model_state, opt_state, jnp.int32(base),
+                    cache_d, jnp.asarray(idx_mat[lo:hi]),
+                    jnp.asarray(valid_vec[lo:hi]), subs[lo:hi])
+                parts.append(np.asarray(ls))
+                base += int(valid_vec[lo:hi].sum())
+            return params, model_state, opt_state, rng, np.concatenate(parts)
+        rng, epoch_key = jax.random.split(rng)
+        perm_d = jnp.asarray(perm)
+        valid_d = jnp.asarray(valid_vec)
+        counter = jnp.int32(0)
+        seen = jnp.int32(seen_base)
+        losses = jnp.zeros((k_steps,), jnp.float32)
+        for _ in range(k_steps):
+            (params, model_state, opt_state, epoch_key, counter, seen,
+             losses) = self.cached_train_step(
+                params, model_state, opt_state, epoch_key, counter, seen,
+                losses, cache_d, perm_d, valid_d)
+        return params, model_state, opt_state, rng, np.asarray(losses)
+
     def train(self, params, model_state, save_dir: str):
         cfg = self.cfg
         saver = CheckpointSaver(save_dir, cfg.metric_name,
@@ -264,34 +339,68 @@ class Trainer:
                 # uploads ONCE; every step slices its batch, splits its rng
                 # key, and scatters its loss entirely on device — the
                 # steady-state dispatch carries zero host data and the only
-                # D2H is the epoch-end loss buffer. (--fused_steps > 1
-                # additionally folds the whole epoch into one lax.scan
-                # program; per-step dispatch pipelines better under
+                # D2H is the epoch-end loss buffer. (--fused_steps N > 1
+                # additionally scans chunks of N optimizer steps inside one
+                # lax.scan program — same N-step granularity as the
+                # streaming path; per-step dispatch pipelines better under
                 # runtimes like the axon tunnel, so it is the default.)
-                perm, valid_vec = train_cache.epoch_plan(
-                    cfg.train_batch_size, True, cache_rng)
-                k_steps = len(valid_vec)
-                if self.fused_steps > 1:
-                    rng, *subs = jax.random.split(rng, k_steps + 1)
-                    idx_mat = perm.reshape(k_steps, -1)
-                    params, model_state, opt_state, losses = (
-                        self.cached_epoch_step(
-                            params, model_state, opt_state, train_cache.x,
-                            train_cache.y, jnp.asarray(idx_mat),
-                            jnp.asarray(valid_vec), jnp.stack(subs)))
-                else:
+                if self.cache_is_mesh:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    cache_d = {"x": train_cache.x, "y": train_cache.y,
+                               "seq": train_cache.seq}
+                    idx_mat, mask_mat = train_cache.mesh_epoch_plan(
+                        cfg.train_batch_size, self.mesh.shape["data"],
+                        True, cache_rng)
+                    k_steps = idx_mat.shape[0]
+                    valid_vec = mask_mat.sum(axis=1).astype(np.int32)
+                    spec = NamedSharding(self.mesh, P(None, "data"))
+                    idx_d = jax.device_put(jnp.asarray(idx_mat), spec)
+                    mask_d = jax.device_put(jnp.asarray(mask_mat), spec)
                     rng, epoch_key = jax.random.split(rng)
-                    perm_d = jnp.asarray(perm)
-                    valid_d = jnp.asarray(valid_vec)
                     counter = jnp.int32(0)
+                    seen = jnp.int32(step)
                     losses = jnp.zeros((k_steps,), jnp.float32)
                     for _ in range(k_steps):
                         (params, model_state, opt_state, epoch_key,
-                         counter, losses) = self.cached_train_step(
+                         counter, seen, losses) = self.cached_train_step(
                             params, model_state, opt_state, epoch_key,
-                            counter, losses, train_cache.x, train_cache.y,
-                            perm_d, valid_d)
-                for v, loss in zip(valid_vec, np.asarray(losses)):
+                            counter, seen, losses, cache_d, idx_d, mask_d)
+                    losses = np.asarray(losses)
+                elif self._rotating:
+                    # beyond-HBM split: rotate fixed-shape shards through
+                    # HBM, prefetching shard i+1 (async device_put) while
+                    # shard i trains — the upload overlaps the steps, so
+                    # steady state pays max(compute, link), not their sum
+                    # (data/rotating_cache.py)
+                    order = train_cache.epoch_shard_order(cache_rng)
+                    slab_next = train_cache.prefetch(order[0])
+                    v_parts, l_parts, seen_base = [], [], step
+                    for si, sid in enumerate(order):
+                        slab = slab_next
+                        if si + 1 < len(order):
+                            slab_next = train_cache.prefetch(order[si + 1])
+                        perm, vv = train_cache.shard_plan(
+                            sid, cfg.train_batch_size, True, cache_rng)
+                        (params, model_state, opt_state, rng,
+                         ls) = self._run_cached_steps(
+                            params, model_state, opt_state, rng, slab,
+                            perm, vv, seen_base)
+                        seen_base += int(vv.sum())
+                        v_parts.append(vv)
+                        l_parts.append(ls)
+                    valid_vec = np.concatenate(v_parts)
+                    losses = np.concatenate(l_parts)
+                else:
+                    cache_d = {"x": train_cache.x, "y": train_cache.y,
+                               "seq": train_cache.seq}
+                    perm, valid_vec = train_cache.epoch_plan(
+                        cfg.train_batch_size, True, cache_rng)
+                    (params, model_state, opt_state, rng,
+                     losses) = self._run_cached_steps(
+                        params, model_state, opt_state, rng, cache_d,
+                        perm, valid_vec, step)
+                for v, loss in zip(valid_vec, losses):
                     step += int(v)
                     self.tbx.add_scalar("train/Loss", float(loss), step)
             else:
@@ -337,14 +446,49 @@ class Trainer:
 
     def _eval_batches(self, split: str):
         """Yield (device_batch, valid, y_host, names) from the split's HBM
-        cache when present, else from its streaming loader."""
+        cache when present (resident or rotating), else from its streaming
+        loader."""
+        from eeg_gnn_tpu.data.rotating_cache import RotatingDeviceCache
+
         cache = self.device_caches.get(split)
+        if isinstance(cache, RotatingDeviceCache):
+            bsz = self.cfg.test_batch_size
+            seq_memo = {}
+            slab_next = cache.prefetch(0)
+            for sid in range(cache.num_shards):
+                slab = slab_next
+                if sid + 1 < cache.num_shards:
+                    slab_next = cache.prefetch(sid + 1)
+                labels = cache.shard_labels(sid)
+                names = cache.shard_names(sid)
+                perm, valid_vec = cache.shard_plan(
+                    sid, bsz, False, np.random.RandomState(0))
+                for k, valid in enumerate(valid_vec):
+                    idx = perm[k * bsz:(k + 1) * bsz]
+                    seq = seq_memo.get(bsz)
+                    if seq is None:
+                        seq = seq_memo[bsz] = jnp.full((bsz,),
+                                                       cache.seq_len,
+                                                       jnp.int32)
+                    dbatch = {
+                        "cache_x": slab["x"], "cache_y": slab["y"],
+                        "cache_seq": slab["seq"],
+                        "idx": np.ascontiguousarray(idx, np.int32),
+                        "x": None, "y": None, "seq_lengths": seq,
+                        "supports": None, "valid": np.int32(valid),
+                    }
+                    yield (dbatch, int(valid),
+                           None if labels is None
+                           else labels[idx[:valid]],
+                           [names[i] for i in idx[:valid]])
+            return
         if cache is not None:
             rng = np.random.RandomState(0)  # unused: shuffle=False
             for idx, valid in cache.epoch_index_batches(
                     self.cfg.test_batch_size, False, rng):
                 yield (cache.device_batch(idx, valid), valid,
-                       cache._labels_host[idx[:valid]],
+                       None if cache._labels_host is None
+                       else cache._labels_host[idx[:valid]],
                        [cache.names[i] for i in idx[:valid]])
             return
         for batch in self.loaders[split]:
@@ -409,6 +553,11 @@ class Trainer:
 
     def _evaluate_ssl(self, params, model_state, split: str) -> Dict[str, float]:
         nll = AverageMeter()
+        if self.device_caches.get(split) is not None:
+            for dbatch, valid, _, _ in self._eval_batches(split):
+                loss, _ = self.eval_step(params, model_state, dbatch)
+                nll.update(float(loss), valid)
+            return {"loss": nll.avg}
         for batch in self.loaders[split]:
             dbatch, valid, _ = self._device_batch(batch, self.cfg.test_batch_size)
             loss, _ = self.eval_step(params, model_state, dbatch)
@@ -460,10 +609,6 @@ def run_experiment(cfg: ExperimentConfig, loaders, scaler, save_dir: str,
         else:
             params = load_params_like(cfg.load_model_path, params)
 
-    if device_caches and mesh is not None:
-        log.info("hbm_cache: mesh sharding not supported with cached "
-                 "splits; using the streaming loader")
-        device_caches = None
     trainer = Trainer(cfg, loaders, scaler, log, metrics_writer,
                       bundle=bundle, mesh=mesh, input_pipeline=input_pipeline,
                       device_caches=device_caches)

@@ -136,6 +136,353 @@ def test_cached_eval_matches_streaming(corpus):
     assert r_stream["acc"] == r_cached["acc"]
 
 
+def test_mesh_epoch_plan_covers_all_rows():
+    """Every real clip is visited exactly once per epoch; padded slots are
+    masked; all devices run the same number of steps."""
+    n, p, batch = 21, 4, 8
+    cache = DeviceDatasetCache(
+        np.zeros((n, 2, 19, 4), np.float32), np.arange(float(n)), seq_len=2)
+    idx, mask = cache.mesh_epoch_plan(batch, p, True,
+                                      np.random.RandomState(0))
+    b_local = batch // p
+    block = -(-n // p)
+    assert idx.shape == mask.shape
+    assert idx.shape[1] == batch
+    seen = []
+    for k in range(idx.shape[0]):
+        for j in range(batch):
+            d = j // b_local
+            if mask[k, j]:
+                g = d * block + idx[k, j]
+                assert g < n
+                seen.append(g)
+            else:
+                assert idx[k, j] < max(1, block)  # in-shard repeat
+    assert sorted(seen) == list(range(n))
+
+
+def test_ssl_cached_eval_matches_streaming(corpus):
+    """SSL: HBM-cached evaluate == streaming evaluate (device-side
+    standardize + shared supports vs the host loader's)."""
+    import jax
+    import logging
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.datasets import load_dataset_ssl
+    from eeg_gnn_tpu.data.device_cache import build_ssl_cache
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
+    from eeg_gnn_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        do_train=True, task="SS pre-training", model_name="dcrnn",
+        graph_type="combined", max_seq_len=12, output_seq_len=12,
+        num_rnn_layers=1, rnn_units=16, max_diffusion_step=1,
+        train_batch_size=8, test_batch_size=8, num_epochs=1,
+    ).finalize()
+    kw = _common(corpus)
+    kw.pop("sampling_ratio"), kw.pop("seed"), kw.pop("max_seq_len")
+    loaders, _, scaler = load_dataset_ssl(
+        adj_mat_dir=corpus["adj_mat_dir"], graph_type="combined",
+        filter_type=cfg.filter_type, standardize=True, augmentation=False,
+        input_len=12, output_len=12, **kw)
+    _, plain, _ = load_dataset_ssl(
+        adj_mat_dir=None, graph_type=None, filter_type=cfg.filter_type,
+        standardize=False, augmentation=False, input_len=12, output_len=12,
+        build_loaders=False, **kw)
+    pipeline = make_device_pipeline(
+        graph_type="combined", filter_type=cfg.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=False,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+    caches = {"dev": build_ssl_cache(plain["dev"], 12, num_workers=2)}
+    params = init_next_time_pred_model(jax.random.PRNGKey(0),
+                                       cfg.dcrnn_config())
+    log = logging.getLogger("test_device_cache")
+
+    class _NullTbx:
+        def add_scalar(self, *a, **k):
+            pass
+
+    stream = Trainer(cfg, loaders, scaler, log, _NullTbx())
+    cached = Trainer(cfg, loaders, scaler, log, _NullTbx(),
+                     input_pipeline=pipeline, device_caches=caches)
+    r_stream = stream.evaluate(params, {}, "dev")
+    r_cached = cached.evaluate(params, {}, "dev")
+    assert abs(r_stream["loss"] - r_cached["loss"]) < 1e-4
+
+
+def test_classification_cached_eval_matches_streaming(corpus):
+    """Classification: cached evaluate == streaming evaluate — the padded
+    variable-length clips re-pin their padding AFTER the device
+    standardize (DevicePipeline.classification_features)."""
+    import jax
+    import logging
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.datasets import load_dataset_classification
+    from eeg_gnn_tpu.data.device_cache import build_classification_cache
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        do_train=True, task="classification", model_name="dcrnn",
+        graph_type="combined", max_seq_len=12, num_rnn_layers=1,
+        rnn_units=16, max_diffusion_step=1, num_classes=4,
+        train_batch_size=8, test_batch_size=8, num_epochs=1,
+    ).finalize()
+    kw = _common(corpus)
+    kw.pop("sampling_ratio"), kw.pop("seed")
+    loaders, datasets, scaler = load_dataset_classification(
+        adj_mat_dir=corpus["adj_mat_dir"], graph_type="combined",
+        filter_type=cfg.filter_type, standardize=True, augmentation=False,
+        padding_val=0.0, **kw)
+    # the corner under test needs at least one truly padded clip; pick a
+    # split that has one (seizure spans are random, tiny splits vary)
+    split = next(s for s in ("dev", "train", "test")
+                 if any(int(datasets[s][i][2]) < 12
+                        for i in range(len(datasets[s]))))
+    _, plain, _ = load_dataset_classification(
+        adj_mat_dir=None, graph_type=None, filter_type=cfg.filter_type,
+        standardize=False, augmentation=False, padding_val=0.0,
+        build_loaders=False, **kw)
+    pipeline = make_device_pipeline(
+        graph_type="combined", filter_type=cfg.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=False,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+    caches = {split: build_classification_cache(plain[split], 12)}
+    bundle = build_model(cfg)
+    params, model_state = bundle.init(jax.random.PRNGKey(0))
+    log = logging.getLogger("test_device_cache")
+
+    class _NullTbx:
+        def add_scalar(self, *a, **k):
+            pass
+
+    stream = Trainer(cfg, loaders, scaler, log, _NullTbx(), bundle=bundle)
+    cached = Trainer(cfg, loaders, scaler, log, _NullTbx(), bundle=bundle,
+                     input_pipeline=pipeline, device_caches=caches)
+    r_stream = stream.evaluate(params, model_state, split)
+    r_cached = cached.evaluate(params, model_state, split)
+    assert abs(r_stream["loss"] - r_cached["loss"]) < 1e-4
+    assert abs(r_stream["F1"] - r_cached["F1"]) < 1e-6
+    assert r_stream["acc"] == r_cached["acc"]
+
+
+def test_mesh_cached_step_matches_single_device(corpus):
+    """One optimizer step through the ROW-SHARDED mesh cache (8-device
+    mesh, shard-local gathers, boolean row-mask loss) produces the same
+    loss and updated params as the single-device cached path fed the
+    equivalent global batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.device_cache import shard_cache
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.parallel.mesh import make_mesh
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import (
+        local_cache_gather,
+        make_mesh_cached_train_step,
+        supervised_loss_fn,
+    )
+
+    mesh = make_mesh("data:8")
+    n, t, batch = 19, 3, 8
+    rng0 = np.random.RandomState(0)
+    feats = rng0.randn(n, t, 19, 8).astype(np.float32)
+    labels = (rng0.rand(n) > 0.5).astype(np.float32)
+
+    cfg = ExperimentConfig(
+        do_train=True, task="detection", graph_type="combined",
+        max_seq_len=t, num_rnn_layers=1, rnn_units=16,
+        max_diffusion_step=1, input_dim=8, num_classes=1,
+    ).finalize()
+    bundle = build_model(cfg)
+    params, mstate = bundle.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(1e-3, 0.0, 5.0, 1, 1)
+    pipeline = make_device_pipeline(
+        graph_type="combined", filter_type=cfg.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=None, augment=False,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+
+    cache = DeviceDatasetCache(feats, labels, seq_len=t)
+    idx_mat, mask_mat = cache.mesh_epoch_plan(
+        batch, 8, True, np.random.RandomState(1))
+    sharded = shard_cache(cache, mesh)
+    block = sharded.x.shape[0] // 8
+
+    step = make_mesh_cached_train_step(
+        supervised_loss_fn(bundle, "detection", input_pipeline=pipeline,
+                           cache_gather=local_cache_gather(mesh)),
+        optimizer, t, batch, donate=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = NamedSharding(mesh, P(None, "data"))
+    key = jax.random.PRNGKey(7)
+    p1, ms1, os1, _, counter, seen, losses = step(
+        params, mstate, optimizer.init(params), key, jnp.int32(0),
+        jnp.int32(0), jnp.zeros((idx_mat.shape[0],), jnp.float32),
+        {"x": sharded.x, "y": sharded.y, "seq": None},
+        jax.device_put(jnp.asarray(idx_mat), spec),
+        jax.device_put(jnp.asarray(mask_mat), spec))
+    assert int(counter) == 1
+    assert int(seen) == int(mask_mat[0].sum())
+
+    # single-device oracle: the same global rows + mask through the plain
+    # cached loss branch and one make_train_step update
+    from eeg_gnn_tpu.train.step import make_train_step
+
+    b_local = batch // 8
+    global_rows = np.asarray(
+        [(j // b_local) * block + idx_mat[0, j] for j in range(batch)],
+        np.int32)
+    # masked slots may point at shard-padding rows past n; their content
+    # never reaches the loss (row mask), so clamp them for the oracle
+    global_rows = np.where(mask_mat[0], global_rows, 0).astype(np.int32)
+    batch_dict = {
+        "cache_x": jnp.asarray(feats[global_rows]),  # dense mini-cache
+        "cache_y": jnp.asarray(labels[global_rows]),
+        "cache_seq": None,
+        "idx": jnp.arange(batch, dtype=jnp.int32),
+        "x": None, "y": None,
+        "seq_lengths": jnp.full((batch,), t, jnp.int32),
+        "supports": None,
+        "valid": jnp.asarray(mask_mat[0]),
+    }
+    oracle_step = make_train_step(
+        supervised_loss_fn(bundle, "detection", input_pipeline=pipeline),
+        optimizer, donate=False)
+    sub = jax.random.split(key)[1]
+    p2, _, _, loss2 = oracle_step(params, mstate, optimizer.init(params),
+                                  batch_dict, sub)
+    np.testing.assert_allclose(float(losses[0]), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_rotating_cache_eval_matches_resident(corpus):
+    """Beyond-HBM rotating cache (3 forced shards, double-buffered
+    prefetch) evaluates identically to the fits-in-HBM resident cache —
+    same device tail, same batch/mask policy, shard boundaries invisible."""
+    import jax
+    import logging
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.datasets import load_dataset_detection
+    from eeg_gnn_tpu.data.device_cache import build_detection_cache
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.data.rotating_cache import build_rotating_cache
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        do_train=True, task="detection", model_name="dcrnn",
+        graph_type="combined", max_seq_len=12, num_rnn_layers=1,
+        rnn_units=16, max_diffusion_step=1, num_classes=1,
+        train_batch_size=4, test_batch_size=4, num_epochs=1,
+    ).finalize()
+    common = _common(corpus)
+    common.update(train_batch_size=4, test_batch_size=4)
+    loaders, _, scaler = load_dataset_detection(
+        adj_mat_dir=corpus["adj_mat_dir"], graph_type="combined",
+        filter_type=cfg.filter_type, standardize=True, augmentation=False,
+        **common)
+    _, plain, _ = load_dataset_detection(
+        adj_mat_dir=None, graph_type=None, filter_type=cfg.filter_type,
+        standardize=False, augmentation=False, build_loaders=False,
+        **common)
+    pipeline = make_device_pipeline(
+        graph_type="combined", filter_type=cfg.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=False,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+    resident = {"dev": build_detection_cache(plain["dev"], 12)}
+    rotating = {"dev": build_rotating_cache(plain["dev"], 12, "detection",
+                                            min_shards=3)}
+    assert rotating["dev"].num_shards == 3
+    bundle = build_model(cfg)
+    params, mstate = bundle.init(jax.random.PRNGKey(0))
+    log = logging.getLogger("test_device_cache")
+
+    class _NullTbx:
+        def add_scalar(self, *a, **k):
+            pass
+
+    a = Trainer(cfg, loaders, scaler, log, _NullTbx(), bundle=bundle,
+                input_pipeline=pipeline, device_caches=resident)
+    b = Trainer(cfg, loaders, scaler, log, _NullTbx(), bundle=bundle,
+                input_pipeline=pipeline, device_caches=rotating)
+    ra = a.evaluate(params, mstate, "dev")
+    rb = b.evaluate(params, mstate, "dev")
+    assert abs(ra["loss"] - rb["loss"]) < 1e-5
+    assert abs(ra["auroc"] - rb["auroc"]) < 1e-9
+    assert ra["acc"] == rb["acc"]
+
+
+def test_rotating_cache_trains(corpus, tmp_path):
+    """One epoch of rotating-cache training: every clip visited once
+    (step counter), loss finite, params move."""
+    import jax
+    import logging
+
+    import jax.numpy as jnp
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.datasets import load_dataset_detection
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.data.rotating_cache import build_rotating_cache
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        do_train=True, task="detection", model_name="dcrnn",
+        graph_type="combined", max_seq_len=12, num_rnn_layers=1,
+        rnn_units=16, max_diffusion_step=1, num_classes=1,
+        train_batch_size=4, test_batch_size=4, num_epochs=1, patience=5,
+        data_augment=True,
+    ).finalize()
+    common = _common(corpus)
+    common.update(train_batch_size=4, test_batch_size=4)
+    loaders, _, scaler = load_dataset_detection(
+        adj_mat_dir=corpus["adj_mat_dir"], graph_type="combined",
+        filter_type=cfg.filter_type, standardize=True, augmentation=True,
+        **common)
+    _, plain, _ = load_dataset_detection(
+        adj_mat_dir=None, graph_type=None, filter_type=cfg.filter_type,
+        standardize=False, augmentation=False, build_loaders=False,
+        **common)
+    pipeline = make_device_pipeline(
+        graph_type="combined", filter_type=cfg.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=True,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+    caches = {s: build_rotating_cache(plain[s], 12, "detection",
+                                      min_shards=2)
+              for s in plain}
+    bundle = build_model(cfg)
+    params, mstate = bundle.init(jax.random.PRNGKey(0))
+    log = logging.getLogger("test_device_cache")
+
+    steps_logged = []
+
+    class _Tbx:
+        def add_scalar(self, tag, value, step):
+            if tag == "train/Loss":
+                steps_logged.append(step)
+                assert np.isfinite(value)
+
+    tr = Trainer(cfg, loaders, scaler, log, _Tbx(), bundle=bundle,
+                 input_pipeline=pipeline, device_caches=caches)
+    params0 = jax.tree.map(np.asarray, params)  # donation-safe snapshot
+    p1, _, _ = tr.train(params, mstate, str(tmp_path))
+    assert steps_logged[-1] == len(plain["train"])  # every clip once
+    moved = any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(params0), jax.tree.leaves(p1)))
+    assert moved
+
+
 def test_cli_hbm_cache_trains(corpus, tmp_path):
     """--hbm_cache end-to-end through the CLI (1 epoch, augment on)."""
     from eeg_gnn_tpu.cli.train import main

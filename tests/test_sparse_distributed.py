@@ -123,6 +123,51 @@ def test_edge_partitioned_spmm_jit_grad(rng):
     assert np.isfinite(np.asarray(gx)).all()
 
 
+def test_ring_spmm_per_device_memory(rng):
+    """Pin the round-3 redesign's memory claim with a measurement
+    (VERDICT r3 weak #6 / item 7): at N=4096, p=8 the compiled
+    executable's per-device temp allocation must track the model
+    out-block + circulating-block + gathered-edge-temporary + edge-shard
+    budget (all O(1/p)), and in particular stay strictly below a full-N
+    (N, D) temporary — the regression mode the old psum_scatter design
+    had. ``memory_analysis()`` reports per-device stats (verified: the
+    sharded output reports N*D*4/p bytes)."""
+    mesh = make_mesh("graph:8")
+    p = 8
+    n, d = 4096, 128
+    e = 4 * n  # average degree 4
+    rows = rng.randint(0, n, e).astype(np.int32)
+    cols = rng.randint(0, n, e).astype(np.int32)
+    vals = rng.randn(e).astype(np.float32)
+    g = SparseGraph(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                    n)
+    x = rng.randn(n, d).astype(np.float32)
+    g_sh, x_sh = place_edge_partitioned(mesh, g, jnp.asarray(x))
+
+    fn = jax.jit(lambda graph, xx: edge_partitioned_spmm(mesh, graph, xx))
+    compiled = fn.lower(g_sh, x_sh).compile()
+    stats = compiled.memory_analysis()
+    temp = stats.temp_size_in_bytes
+
+    block = n // p
+    es_per_dev = g_sh.rows.shape[0] // p  # padded edge-shard length
+    model = (
+        block * d * 4          # owned output block
+        + block * d * 4        # circulating X block
+        + es_per_dev * d * 4   # gathered-edge temporary
+        + es_per_dev * 12      # rows/cols/vals shard
+    )
+    full_n_temp = n * d * 4
+    assert temp <= 1.5 * model, (temp, model)
+    # a full-N temporary alone would exceed this
+    assert temp < full_n_temp, (temp, full_n_temp)
+    # numerics sanity on the same compiled program
+    out = np.asarray(compiled(g_sh, x_sh))
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
 def test_sparse_encoder_matches_dense(rng):
     """The distributed-SpMM DCGRU encoder (parallel/sparse_model.py) equals
     the dense encoder on the same block-diagonal clip graphs, on the

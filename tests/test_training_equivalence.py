@@ -28,7 +28,7 @@ LR, WD, CLIP, EPOCHS = 1e-4, 5e-4, 5.0, 3
 
 def _torch_reference_trainer(params, num_rnn_layers, rnn_units, k,
                              steps_per_epoch, filter_type="laplacian",
-                             epochs=EPOCHS):
+                             epochs=EPOCHS, num_classes=1):
     import sys
     import types
 
@@ -46,7 +46,8 @@ def _torch_reference_trainer(params, num_rnn_layers, rnn_units, k,
         input_dim=100, max_diffusion_step=k, dcgru_activation="tanh",
         filter_type=filter_type, dropout=0.0,
     )
-    model = DCRNNModel_classification(args=args, num_classes=1, device="cpu")
+    model = DCRNNModel_classification(args=args, num_classes=num_classes,
+                                      device="cpu")
     state = {kk: torch.from_numpy(np.asarray(v))
              for kk, v in export_classification_state(params).items()}
     missing = model.load_state_dict(state, strict=True)
@@ -54,7 +55,11 @@ def _torch_reference_trainer(params, num_rnn_layers, rnn_units, k,
 
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=WD)
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
-    loss_fn = torch.nn.BCEWithLogitsLoss()
+    # reference train.py:202-206: BCE for detection, CE for classification
+    if num_classes == 1:
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+    else:
+        loss_fn = torch.nn.CrossEntropyLoss()
 
     def _sups(supports):
         return [torch.from_numpy(s) for s in supports]  # list of (B, N, N)
@@ -63,8 +68,11 @@ def _torch_reference_trainer(params, num_rnn_layers, rnn_units, k,
         model.train()
         opt.zero_grad()
         logits = model(torch.from_numpy(x), torch.from_numpy(lengths),
-                       _sups(supports)).view(-1)
-        loss = loss_fn(logits, torch.from_numpy(y).view(-1))
+                       _sups(supports))
+        if num_classes == 1:
+            loss = loss_fn(logits.view(-1), torch.from_numpy(y).view(-1))
+        else:
+            loss = loss_fn(logits, torch.from_numpy(y).view(-1).long())
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), CLIP)
         opt.step()
@@ -74,8 +82,10 @@ def _torch_reference_trainer(params, num_rnn_layers, rnn_units, k,
         model.eval()
         with torch.no_grad():
             logits = model(torch.from_numpy(x), torch.from_numpy(lengths),
-                           _sups(supports)).view(-1)
-        return torch.sigmoid(logits).numpy()
+                           _sups(supports))
+        if num_classes == 1:
+            return torch.sigmoid(logits.view(-1)).numpy()
+        return torch.softmax(logits, dim=1).numpy()
 
     return model, train_step, predict, sched
 
@@ -336,6 +346,116 @@ def test_ssl_training_trajectory_matches_reference(tmp_path):
     per_epoch_ours = ours_losses.reshape(epochs, -1).mean(1)
     per_epoch_theirs = theirs_losses.reshape(epochs, -1).mean(1)
     np.testing.assert_allclose(per_epoch_ours, per_epoch_theirs, rtol=5e-3)
+
+
+@needs_ref
+@pytest.mark.slow
+def test_classification_training_trajectory(tmp_path):
+    """Classification-task training dynamics vs the executing reference
+    (VERDICT r3 item 6): CrossEntropy loss on 4-class logits
+    (train.py:203-206), PADDED variable-length sequences with the
+    ``last_relevant_pytorch`` seq_lengths gather (utils.py:346-357,
+    dataloader_classification.py:334-352) live in the BACKWARD pass —
+    the last corner where a gradient-masking bug could hide."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.datasets import load_dataset_classification
+    from eeg_gnn_tpu.data.synthetic import make_synthetic_corpus
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.train.metrics import eval_dict
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
+
+    units, layers, k, t = 16, 1, 1, 12
+    epochs, batch = 3, 4
+
+    p = make_synthetic_corpus(str(tmp_path), num_files=8, file_seconds=120,
+                              clip_len=t)
+    loaders, datasets, _ = load_dataset_classification(
+        input_dir=p["input_dir"], raw_data_dir=p["raw_data_dir"],
+        train_batch_size=batch, test_batch_size=batch, max_seq_len=t,
+        standardize=True, num_workers=0, padding_val=0.0,
+        augmentation=False, adj_mat_dir=p["adj_mat_dir"],
+        graph_type="combined", filter_type="laplacian", use_fft=True,
+        marker_dir=p["marker_dir"])
+
+    # the corner under test must actually be exercised: variable lengths
+    lengths_seen = {int(datasets["train"][i][2])
+                    for i in range(len(datasets["train"]))}
+    assert len(lengths_seen) > 1, "corpus produced uniform seq_lengths"
+
+    cfg = ExperimentConfig(
+        do_train=True, task="classification", graph_type="combined",
+        max_seq_len=t, num_rnn_layers=layers, rnn_units=units,
+        max_diffusion_step=k, num_classes=4, num_epochs=epochs, lr_init=LR,
+        l2_wd=WD, max_grad_norm=CLIP, dropout=0.0).finalize()
+    bundle = build_model(cfg)
+    params, model_state = bundle.init(jax.random.PRNGKey(0))
+
+    epoch_batches = [[(np.asarray(b.x, np.float32),
+                       np.asarray(b.y, np.float32),
+                       np.asarray(b.seq_lengths, np.int64),
+                       np.asarray(b.supports, np.float32))
+                      for b in loaders["train"]] for _ in range(epochs)]
+    steps_per_epoch = len(epoch_batches[0])
+    assert steps_per_epoch >= 2
+
+    _, t_step, t_predict, t_sched = _torch_reference_trainer(
+        params, layers, units, k, steps_per_epoch, epochs=epochs,
+        num_classes=4)
+
+    optimizer = make_optimizer(LR, WD, CLIP, epochs, steps_per_epoch)
+    opt_state = optimizer.init(params)
+    loss_fn = supervised_loss_fn(bundle, "classification")
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    rng = jax.random.PRNGKey(0)
+
+    ours_losses, theirs_losses = [], []
+    for epoch in epoch_batches:
+        for x, y, lengths, supports in epoch:
+            batch_dict = {"x": jnp.asarray(x), "y": jnp.asarray(y),
+                          "seq_lengths": jnp.asarray(lengths),
+                          "supports": jnp.asarray(supports)}
+            params, model_state, opt_state, loss = step(
+                params, model_state, opt_state, batch_dict, rng)
+            ours_losses.append(float(loss))
+            theirs_losses.append(t_step(x, y, lengths, supports))
+        t_sched.step()
+
+    ours_losses = np.asarray(ours_losses)
+    theirs_losses = np.asarray(theirs_losses)
+    np.testing.assert_allclose(ours_losses[0], theirs_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(ours_losses, theirs_losses, rtol=0.02,
+                               atol=5e-3)
+    per_epoch_ours = ours_losses.reshape(epochs, -1).mean(1)
+    per_epoch_theirs = theirs_losses.reshape(epochs, -1).mean(1)
+    np.testing.assert_allclose(per_epoch_ours, per_epoch_theirs, rtol=5e-3)
+
+    # final dev probabilities + weighted-F1 from the two trained models
+    probs_o, probs_t, ys = [], [], []
+    for b in loaders["dev"]:
+        x = np.asarray(b.x, np.float32)
+        lengths = np.asarray(b.seq_lengths, np.int64)
+        supports = np.asarray(b.supports, np.float32)
+        logits, _ = bundle.apply(
+            params, model_state,
+            {"x": jnp.asarray(x), "seq_lengths": jnp.asarray(lengths),
+             "supports": jnp.asarray(supports)}, training=False,
+            rng=jax.random.PRNGKey(0))
+        logits = np.asarray(logits)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs_o.append(e / e.sum(axis=1, keepdims=True))
+        probs_t.append(t_predict(x, lengths, supports))
+        ys.append(np.asarray(b.y).reshape(-1).astype(int))
+    probs_o = np.concatenate(probs_o)
+    probs_t = np.concatenate(probs_t)
+    ys = np.concatenate(ys)
+    np.testing.assert_allclose(probs_o, probs_t, rtol=0.05, atol=0.01)
+    so, _, _ = eval_dict(probs_o.argmax(1), ys, None, average="weighted")
+    st, _, _ = eval_dict(probs_t.argmax(1), ys, None, average="weighted")
+    assert abs(so["F1"] - st["F1"]) < 1e-6, (so["F1"], st["F1"])
 
 
 @needs_ref
