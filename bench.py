@@ -161,6 +161,7 @@ CITED_ARTIFACTS = (
     "benchmarks/graph_build_results.json",
     "benchmarks/shared_support_results.json",
     "benchmarks/ssl_efficacy_results.json",
+    "benchmarks/rotating_cache_results.json",
 )
 
 

@@ -110,8 +110,8 @@ def main(argv=None):
     device_caches = None
     if cfg.task == "detection":
         loaders, _, scaler = load_dataset_detection(
-            max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
-            raw_mode=use_device_pipeline, **common)
+            max_seq_len=cfg.max_seq_len, sampling_ratio=cfg.sampling_ratio,
+            seed=123, raw_mode=use_device_pipeline, **common)
     elif cfg.task == "classification":
         if cfg.model_name == "densecnn":
             # reference train.py:92-106 switches to the flat-clip loader
@@ -176,7 +176,8 @@ def main(argv=None):
         t_out = 0
         if cfg.task == "detection":
             _, plain, _ = load_dataset_detection(
-                max_seq_len=cfg.max_seq_len, sampling_ratio=1, seed=123,
+                max_seq_len=cfg.max_seq_len,
+                sampling_ratio=cfg.sampling_ratio, seed=123,
                 **plain_common)
 
             def build(ds):

@@ -63,6 +63,10 @@ class ExperimentConfig:
     metric_avg: str = "weighted"
     data_augment: bool = False
     patience: int = 5
+    sampling_ratio: float = 1.0  # detection train-split subsampling: keep
+    # this fraction of seizure rows (negatives matched 1:1) — the
+    # reference's ``scale_ratio`` (dataloader_detection.py:89-118),
+    # exposed for label-scarcity protocols (benchmarks/ssl_efficacy.py)
 
     # TPU-framework extensions (no reference counterpart)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
@@ -196,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metric_avg", type=str, default=d.metric_avg)
     _add_bool_flag(p, "data_augment", "Random reflection + scaling augmentation.")
     p.add_argument("--patience", type=int, default=d.patience)
+    p.add_argument("--sampling_ratio", type=float, default=d.sampling_ratio,
+                   help="Detection train-split subsampling (the "
+                        "reference's scale_ratio): keep this fraction of "
+                        "seizure rows, negatives matched 1:1.")
 
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=("float32", "bfloat16"))

@@ -27,16 +27,46 @@ def _write_h5(path, signal):
         f.create_dataset("resample_freq", data=FREQUENCY)
 
 
+def _smooth_walk(rng, n, tau=8.0):
+    """Per-second log-amplitude random walk smoothed to time constant
+    ``tau`` seconds: values drift slowly, so the near future is
+    predictable from the recent past."""
+    w = np.cumsum(rng.randn(NUM_NODES, n) * 0.25, axis=1)
+    k = int(max(3, 2 * tau))
+    kernel = np.exp(-np.arange(-k, k + 1) ** 2 / (2 * tau ** 2))
+    kernel /= kernel.sum()
+    sm = np.stack([np.convolve(row, kernel, mode="same") for row in w])
+    sm -= sm.mean(axis=1, keepdims=True)
+    return np.exp(np.clip(sm, -0.8, 0.8))
+
+
 def _signal(rng, seconds, seizure_spans):
-    """Pink-ish noise + 10 Hz alpha; seizures add 3 Hz high-amplitude spikes."""
+    """Noise + 10 Hz alpha with SLOWLY-DRIFTING per-channel amplitude;
+    seizures add 3 Hz spikes under a raised-cosine onset/offset envelope.
+
+    The drift/envelope give the signal real temporal structure: the next
+    window's spectrum is predictable from the recent past, so the SSL
+    next-window task (benchmarks/ssl_efficacy.py) has learnable,
+    detection-relevant content instead of an i.i.d. noise floor — while
+    detection itself stays a band-power task like before (boundary clips
+    become genuinely weak positives under the envelope ramps)."""
     t = np.arange(seconds * FREQUENCY) / FREQUENCY
-    base = rng.randn(NUM_NODES, t.size) * 10.0
-    alpha = 5.0 * np.sin(2 * np.pi * 10.0 * t + rng.rand(NUM_NODES, 1) * 6.28)
+    # broadband amplitude also drifts slowly (real EEG band powers are
+    # strongly autocorrelated): EVERY log-FFT bin carries a predictable
+    # component, not just the alpha peak
+    env_b = np.repeat(_smooth_walk(rng, seconds), FREQUENCY, axis=1)
+    base = rng.randn(NUM_NODES, t.size) * 8.0 * env_b[:, : t.size]
+    env = np.repeat(_smooth_walk(rng, seconds), FREQUENCY, axis=1)
+    alpha = (10.0 * env[:, : t.size]
+             * np.sin(2 * np.pi * 10.0 * t + rng.rand(NUM_NODES, 1) * 6.28))
     sig = base + alpha
     for t0, t1 in seizure_spans:
         sl = slice(int(t0 * FREQUENCY), int(t1 * FREQUENCY))
-        spike = 40.0 * np.sin(2 * np.pi * 3.0 * t[sl] + rng.rand(NUM_NODES, 1) * 6.28)
-        sig[:, sl] += spike + rng.randn(NUM_NODES, sl.stop - sl.start) * 20.0
+        n_s = sl.stop - sl.start
+        ramp = np.sin(np.linspace(0, np.pi, n_s)) ** 2  # raised-cosine
+        spike = 40.0 * ramp * np.sin(
+            2 * np.pi * 3.0 * t[sl] + rng.rand(NUM_NODES, 1) * 6.28)
+        sig[:, sl] += spike + rng.randn(NUM_NODES, n_s) * 20.0 * ramp
     return sig.astype(np.float64)
 
 

@@ -462,7 +462,10 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
 
     cells = [cell_weights(i) for i in range(num_layers)]
 
-    go = jnp.zeros((b, n, out_dim), dec_inputs.dtype)
+    # carry stays f32 (the cells keep state/accumulation in f32 even under
+    # bf16 compute); bf16 dec_inputs (e.g. a bf16-storage HBM cache) would
+    # otherwise mismatch the scan carry dtype
+    go = jnp.zeros((b, n, out_dim), jnp.float32)
 
     def step(carry, inp):
         h_stack, cur = carry
@@ -492,5 +495,6 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
             nxt = projected
         return (h_stack, nxt), projected
 
-    (_, _), outputs = jax.lax.scan(step, (h0_stack, go), (dec_inputs, step_keys))
+    (_, _), outputs = jax.lax.scan(
+        step, (h0_stack.astype(jnp.float32), go), (dec_inputs, step_keys))
     return outputs

@@ -65,3 +65,30 @@ def test_e2e_pipeline_artifact():
         assert (r["hbm_cache_clips_per_s"]
                 >= 20 * r["clipstore_features_clips_per_s"])
         assert r["step_only_clips_per_s"] > 0
+
+
+def test_ssl_efficacy_artifact():
+    """SSL pre-training must demonstrably help downstream detection
+    (verdict r3 item 2): with identical budgets, fine-tune >= from-scratch
+    on test AUROC (small noise allowance), and the fine-tuned arm reaches
+    the from-scratch run's FINAL dev AUROC in at most half the epochs."""
+    art = _load("ssl_efficacy_results.json")
+    ft, scratch = art["finetune"], art["scratch"]
+    assert ft["test"]["auroc"] >= scratch["test"]["auroc"] - 0.005
+    reach = art["ft_epochs_to_reach_scratch_final"]
+    assert reach is not None
+    assert reach <= art["protocol"]["budget_epochs"] / 2
+    # both arms really trained (curves move, budget respected)
+    for arm in (ft, scratch):
+        assert len(arm["dev_auroc"]) == art["protocol"]["budget_epochs"]
+        assert max(arm["dev_auroc"]) > 0.6
+
+
+def test_rotating_cache_artifact():
+    """The beyond-HBM rotating cache must sit near whichever wall binds
+    (compute ceiling or H2D link roofline): overlap efficiency >= 0.6,
+    replacing the round-3 streaming cliff (~1% of ceiling)."""
+    art = _load("rotating_cache_results.json")
+    assert art["config"]["shards"] >= 2
+    assert art["overlap_efficiency"] >= 0.60
+    assert art["rotating_clips_per_s"] > 0

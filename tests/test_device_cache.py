@@ -210,6 +210,16 @@ def test_ssl_cached_eval_matches_streaming(corpus):
     r_cached = cached.evaluate(params, {}, "dev")
     assert abs(r_stream["loss"] - r_cached["loss"]) < 1e-4
 
+    # bf16 STORAGE through the seq2seq path: the decoder scan carry must
+    # stay f32 (models/dcgru.py decoder_apply) — regression for the dtype
+    # mismatch a bf16 cache exposed
+    caches16 = {"dev": build_ssl_cache(plain["dev"], 12,
+                                       storage_dtype="bfloat16")}
+    cached16 = Trainer(cfg, loaders, scaler, log, _NullTbx(),
+                       input_pipeline=pipeline, device_caches=caches16)
+    r16 = cached16.evaluate(params, {}, "dev")
+    assert abs(r16["loss"] - r_stream["loss"]) < 0.02  # bf16 rounding
+
 
 def test_classification_cached_eval_matches_streaming(corpus):
     """Classification: cached evaluate == streaming evaluate — the padded
