@@ -35,6 +35,10 @@ import sys
 
 import numpy as np
 
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _root not in sys.path:
+    sys.path.insert(0, _root)
+
 # Normalized error = max|a-b| / max|ref|: the inf-norm error of the Pallas
 # output measured in units of the reference's own scale. One bf16 MXU pass
 # has ~3e-3 relative rounding; T=60 recurrence steps of two *different

@@ -83,8 +83,10 @@ class ExperimentConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
     recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
-    batch_tile: int = 32  # clips per grid step in the Pallas whole-sequence
-    # whole-sequence recurrence kernels (perf knob; VMEM-bounded)
+    batch_tile: int = 48  # clips per grid step in the Pallas whole-sequence
+    # recurrence kernels (perf knob; VMEM-bounded). 48 measured best at
+    # B=128 with the round-4 fused-stream kernels (benchmarks/NOTES.md
+    # round-4 section); auto-clamped for small batches.
 
     # Derived
     maximize_metric: bool = True

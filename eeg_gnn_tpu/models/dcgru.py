@@ -188,24 +188,51 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
     wx_gate, wh_gate = _split_weight(cfg, params["gate_w"])
     wx_cand, wh_cand = _split_weight(cfg, params["cand_w"])
 
-    # Hoisted: diffuse inputs for all T at once, then one (T*B*N, Din*M) x
-    # (Din*M, 3H) GEMM for the input contribution to gate and candidate.
+    # Hoisted: diffuse inputs for all T at once and project to the fused
+    # (..., 3H) gate|cand contribution as a SUM of per-term GEMMs,
+    # sum_m (T_m x) @ W_m, instead of materializing the (..., D, M)
+    # Chebyshev stack and one (Din*M, 3H) GEMM — the 5-D stack's
+    # concatenate + layout copies (and their backward mirrors) cost
+    # ~1 ms/step at the flagship shape (round-4 trace); the per-term sum
+    # has identical f32-accumulated math with the same M matmul FLOPs.
     bf16 = cfg.compute_dtype == "bfloat16"
     wx = jnp.concatenate([wx_gate, wx_cand], axis=1)  # (Din*M, 3H)
+    din = x_seq.shape[-1]
+    m_total = cfg.num_matrices
+    # weight rows are (d, m) d-major: W_m = rows d*M + m
+    wx_terms = wx.reshape(din, m_total, -1)
     if bf16:
-        # bf16 end to end through the hoisted path: the diffused feature
-        # stack (the largest intermediate, O(T*B*N*Din*M)) materializes in
-        # bf16 and the FLOPs-dominant GEMM runs bf16 on the MXU with f32
-        # accumulation; gate_x/cand_x then stream to the recurrence in bf16.
-        x_feat = _flat(chebyshev_diffusion(
-            supports.astype(jnp.bfloat16), x_seq.astype(jnp.bfloat16), k))
-        x_proj = jnp.matmul(x_feat, wx.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-        x_proj = x_proj.astype(jnp.bfloat16)
+        # bf16 end to end through the hoisted path: the diffusion terms
+        # materialize in bf16 and the FLOPs-dominant GEMMs run bf16 on the
+        # MXU with f32 accumulation; x_proj then streams to the recurrence
+        # in bf16.
+        supports_c = supports.astype(jnp.bfloat16)
+        x_c = x_seq.astype(jnp.bfloat16)
+        wx_terms = wx_terms.astype(jnp.bfloat16)
     else:
-        x_feat = _flat(chebyshev_diffusion(supports, x_seq, k))
-        x_proj = jnp.matmul(x_feat, wx)
-    gate_x, cand_x = x_proj[..., : 2 * h_units], x_proj[..., 2 * h_units:]
+        supports_c, x_c = supports, x_seq
+
+    def term_gemm(feat, mi):
+        return jnp.matmul(feat, wx_terms[:, mi],
+                          preferred_element_type=jnp.float32)
+
+    # same term recurrence (and deliberate cross-support carry-over quirk)
+    # as ops/diffusion.chebyshev_diffusion
+    x_proj = term_gemm(x_c, 0)
+    mi = 1
+    if k > 0:
+        x0_, x1_ = x_c, None
+        for s in supports_c:
+            x1_ = jnp.matmul(s, x0_)
+            x_proj = x_proj + term_gemm(x1_, mi)
+            mi += 1
+            for _ in range(2, k + 1):
+                x2 = 2.0 * jnp.matmul(s, x1_) - x0_
+                x_proj = x_proj + term_gemm(x2, mi)
+                mi += 1
+                x1_, x0_ = x2, x1_
+    if bf16:
+        x_proj = x_proj.astype(jnp.bfloat16)
 
     recurrence = cfg.recurrence
     if recurrence == "pallas" and jax.default_backend() != "tpu":
@@ -231,19 +258,21 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         )
         if recurrence == "pallas":
             from eeg_gnn_tpu.ops.pallas_recurrent import (
-                dcgru_layer_recurrence_pallas,
+                dcgru_layer_recurrence_pallas_fused,
             )
 
-            # bf16 gate_x/cand_x stream straight into the kernel (inputs +
-            # ru/c residuals at half HBM); state and accumulation stay f32.
-            h_last, h_seq = dcgru_layer_recurrence_pallas(
-                a_ops, gate_x, cand_x, *wh_args, cfg.activation,
+            # the fused (T,B,N,3H) x_proj streams straight into the kernel
+            # (no gate/cand split; bf16 inputs + ru/c residuals at half
+            # HBM); state and accumulation stay f32.
+            h_last, h_seq = dcgru_layer_recurrence_pallas_fused(
+                a_ops, x_proj, *wh_args, cfg.activation,
                 cfg.batch_tile, False,
                 "bfloat16" if bf16 else "float32")
         else:
+            gate_x = x_proj[..., : 2 * h_units].astype(jnp.float32)
+            cand_x = x_proj[..., 2 * h_units:].astype(jnp.float32)
             h_last, h_seq = dcgru_layer_recurrence(
-                a_ops, gate_x.astype(jnp.float32),
-                cand_x.astype(jnp.float32), *wh_args, cfg.activation)
+                a_ops, gate_x, cand_x, *wh_args, cfg.activation)
         return h_last, h_seq
 
     if cfg.use_pallas and supports.ndim == 4:
@@ -272,6 +301,9 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         def hidden_cand(rh):
             rh_feat = _flat(chebyshev_diffusion(supports, rh, k))
             return jnp.matmul(rh_feat, wh_cand) + params["cand_b"]
+
+    gate_x = x_proj[..., : 2 * h_units].astype(jnp.float32)
+    cand_x = x_proj[..., 2 * h_units:].astype(jnp.float32)
 
     def step(h, inp):
         gx, cx = inp

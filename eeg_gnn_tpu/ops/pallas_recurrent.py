@@ -140,17 +140,20 @@ def _group_blockdiag(a, j, np_):
     return jnp.transpose(out, (1, 0, 2, 3))
 
 
-def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
+def _prep(a_ops, x_proj, h0, batch_tile):
     """Pad batch + nodes, build grouped operator stacks, flatten layouts.
 
-    Returns (a_c, gx, cx, h0f, shared, dims) where
+    Returns (a_c, xp, h0f, shared, dims) where
       a_c: operator stack — (M*J*Np, J*Np) if shared else
            (G, (TB/J)*M*J*Np, J*Np); serves both directions (the backward
            contracts dim 0 for the A^T applies)
-      gx/cx: (T, G*TB*Np, 2H/H); h0f: (G, TB*Np, H)
-      dims: (t, b, n, np_, tb, g, j)
+      xp: (T, G*TB*Np, 3H) — ONE fused [gate | cand] input stream (the
+          separate gx/cx streams forced a pair of (T,B,N,·) slices after
+          the hoisted GEMM and a concat in its backward, ~0.7 ms/step of
+          pure data movement at the flagship shape — round-4 trace)
+      h0f: (G, TB*Np, H); dims: (t, b, n, np_, tb, g, j)
     """
-    t, b, n, _ = gate_x.shape
+    t, b, n, _ = x_proj.shape
     m = a_ops.shape[0]
     np_ = -(-n // 8) * 8
     shared = a_ops.shape[1] == 1
@@ -162,7 +165,7 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     # Shrink the tile until the estimate fits in ~12 MB (16 MB VMEM minus
     # headroom) — tile 64 with M=3, H=64 overflowed in round 1, the
     # measured cause of the batch_tile 32/64 compile failures.
-    h_units_est = gate_x.shape[-1] // 2
+    h_units_est = x_proj.shape[-1] // 3
     j_est = max(1, 128 // np_)
     per_row = ((0 if shared else 8 * m * j_est * np_)
                + 64 * h_units_est + 4 * (3 * m + 2) * h_units_est)
@@ -175,14 +178,12 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
     bp = g * tb
 
     if bp != b:
-        gate_x = _pad_axis(gate_x, 1, bp)
-        cand_x = _pad_axis(cand_x, 1, bp)
+        x_proj = _pad_axis(x_proj, 1, bp)
         h0 = _pad_axis(h0, 0, bp)
         if not shared:
             a_ops = _pad_axis(a_ops, 1, bp)
     # node padding: zero rows/cols keep padded nodes fully decoupled
-    gate_x = _pad_axis(gate_x, 2, np_)
-    cand_x = _pad_axis(cand_x, 2, np_)
+    x_proj = _pad_axis(x_proj, 2, np_)
     h0 = _pad_axis(h0, 1, np_)
     a_ops = _pad_axis(_pad_axis(a_ops, 2, np_), 3, np_)
 
@@ -194,14 +195,13 @@ def _prep(a_ops, gate_x, cand_x, h0, batch_tile):
         bd = _group_blockdiag(a_ops, j, np_)  # (B/J, M, J*Np, J*Np)
         a_c = bd.reshape(g, (tb // j) * m * j * np_, j * np_)
 
-    gx = gate_x.reshape(t, g * tb * np_, -1)
-    cx = cand_x.reshape(t, g * tb * np_, -1)
+    xp = x_proj.reshape(t, g * tb * np_, -1)
     h0f = h0.reshape(g, tb * np_, -1)
-    return a_c, gx, cx, h0f, shared, (t, b, n, np_, tb, g, j)
+    return a_c, xp, h0f, shared, (t, b, n, np_, tb, g, j)
 
 
 def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
-                gx_ref, cx_ref, hseq_ref, ru_ref, c_ref, h_scr, feats_scr,
+                xp_ref, hseq_ref, ru_ref, c_ref, h_scr, feats_scr,
                 *, m: int, np_: int, tb: int, j: int, h_units: int,
                 activation: str, shared: bool):
     act, _ = _act_pair(activation)
@@ -227,15 +227,14 @@ def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
                           mi * h_units:(mi + 1) * h_units] = \
                     f[mi * gr:(mi + 1) * gr]
 
+    xp = xp_ref[0].astype(jnp.float32)  # fused [gate(2H) | cand(H)] slab
     diffuse(h)
-    gate = (gx_ref[0].astype(jnp.float32) + bg_ref[:]
-            + _dot(feats_scr[:], wg_ref[:]))
+    gate = xp[:, : 2 * h_units] + bg_ref[:] + _dot(feats_scr[:], wg_ref[:])
     ru = jax.nn.sigmoid(gate)
     r, u = ru[:, :h_units], ru[:, h_units:]
 
     diffuse(r * h)
-    c = act(cx_ref[0].astype(jnp.float32) + bc_ref[:]
-            + _dot(feats_scr[:], wc_ref[:]))
+    c = act(xp[:, 2 * h_units:] + bc_ref[:] + _dot(feats_scr[:], wc_ref[:]))
 
     h_new = u * h + (1.0 - u) * c
     h_scr[:] = h_new
@@ -245,7 +244,7 @@ def _fwd_kernel(a_ref, wg_ref, wc_ref, bg_ref, bc_ref, h0_ref,
 
 
 def _bwd_kernel(a_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
-                dseq_ref, dgx_ref, dcx_ref, dh0_ref, dwg_ref, dwc_ref,
+                dseq_ref, dxp_ref, dh0_ref, dwg_ref, dwc_ref,
                 dbg_ref, dbc_ref, dh_scr, hfeats_scr, rfeats_scr, dy_scr,
                 adj_scr, *, m: int, np_: int, tb: int, j: int, h_units: int,
                 activation: str, t_total: int, shared: bool):
@@ -339,8 +338,14 @@ def _bwd_kernel(a_ref, wg_ref, wc_ref, hprev_ref, ru_ref, c_ref,
 
     dh_prev = g * u + drh * r + adj_scr[:]
 
-    dgx_ref[0] = dru_pre
-    dcx_ref[0] = dc_pre
+    # ONE fused x-cotangent stream, written in the ref's (residual)
+    # dtype: casting at the kernel write is free, while a post-kernel
+    # convert costs a full HBM round-trip of the (T, rows, 3H) stream
+    # (~0.7 ms/step at the flagship shape, round-4 trace); the fused slab
+    # also kills the downstream dgx/dcx concat in the hoisted GEMM's
+    # backward
+    dxp_ref[0, :, : 2 * h_units] = dru_pre.astype(dxp_ref.dtype)
+    dxp_ref[0, :, 2 * h_units:] = dc_pre.astype(dxp_ref.dtype)
     dh_scr[:] = dh_prev
 
     @pl.when(tg == t_total - 1)
@@ -358,10 +363,9 @@ def _a_spec(shared, m, np_, tb, j):
                         lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
+def _forward(a_ops, x_proj, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret, residual_dtype=jnp.float32):
-    a_c, gx, cx, h0f, shared, dims = _prep(
-        a_ops, gate_x, cand_x, h0, batch_tile)
+    a_c, xp, h0f, shared, dims = _prep(a_ops, x_proj, h0, batch_tile)
     t, b, n, np_, tb, g, j = dims
     m = a_ops.shape[0]
     h_units = h0.shape[-1]
@@ -388,9 +392,7 @@ def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, h_units), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 2 * h_units), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, h_units), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, rows, 3 * h_units), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -414,14 +416,15 @@ def _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
         ],
         interpret=interpret,
     )(a_c, wg_f, wc_f, gate_b.reshape(1, -1), cand_b.reshape(1, -1),
-      h0f, gx, cx)
+      h0f, xp)
 
     h_seq_out = h_seq.reshape(t, g * tb, np_, h_units)[:, :b, :n]
     return h_seq_out, (a_c, h_seq, ru_seq, c_seq, shared, dims)
 
 
 def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
-              d_seq_flat, activation, interpret, shared, dims):
+              d_seq_flat, activation, interpret, shared, dims,
+              residual_dtype=jnp.float32):
     t, b, n, np_, tb, g, j = dims
     m = wg_r.shape[0]
     h_units = wc_r.shape[-1]
@@ -439,7 +442,7 @@ def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
         _bwd_kernel, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
         activation=activation, t_total=t, shared=shared)
     rev = lambda i, j: (t - 1 - j, i, 0)  # walk time backward
-    dgx, dcx, dh0, dwg, dwc, dbg, dbc = pl.pallas_call(
+    dxp, dh0, dwg, dwc, dbg, dbc = pl.pallas_call(
         kernel,
         grid=(g, t),
         in_specs=[
@@ -455,9 +458,8 @@ def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
             pl.BlockSpec((1, rows, h_units), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, 2 * h_units), rev,
+            pl.BlockSpec((1, rows, 3 * h_units), rev,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, h_units), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, h_units), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m * h_units, 2 * h_units), lambda i, j: (0, 0),
@@ -470,8 +472,9 @@ def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, g * rows, 2 * h_units), jnp.float32),
-            jax.ShapeDtypeStruct((t, g * rows, h_units), jnp.float32),
+            # fused x-cotangent stream in residual_dtype (see _bwd_kernel
+            # write note); param/bias/h0 grads stay f32
+            jax.ShapeDtypeStruct((t, g * rows, 3 * h_units), residual_dtype),
             jax.ShapeDtypeStruct((g, rows, h_units), jnp.float32),
             jax.ShapeDtypeStruct((m * h_units, 2 * h_units), jnp.float32),
             jax.ShapeDtypeStruct((m * h_units, h_units), jnp.float32),
@@ -489,41 +492,48 @@ def _backward(a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
         interpret=interpret,
     )(a_c, wg_f, wc_f, h_prev, ru_seq, c_seq, d_seq_flat)
 
-    dgx = dgx.reshape(t, g * tb, np_, 2 * h_units)[:, :b, :n]
-    dcx = dcx.reshape(t, g * tb, np_, h_units)[:, :b, :n]
+    dxp = dxp.reshape(t, g * tb, np_, 3 * h_units)[:, :b, :n]
     dh0 = dh0.reshape(g * tb, np_, h_units)[:b, :n]
-    return (dgx, dcx, dwg.reshape(m, h_units, 2 * h_units),
+    return (dxp, dwg.reshape(m, h_units, 2 * h_units),
             dwc.reshape(m, h_units, h_units), dbg.reshape(-1),
             dbc.reshape(-1), dh0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
-                                  cand_b, h0, activation: str = "tanh",
-                                  batch_tile: int = 16,
-                                  interpret: bool = False,
-                                  residual_dtype: str = "float32"):
-    """Whole-sequence DCGRU layer recurrence as two Pallas kernels.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def dcgru_layer_recurrence_pallas_fused(a_ops, x_proj, wg_r, wc_r, gate_b,
+                                        cand_b, h0,
+                                        activation: str = "tanh",
+                                        batch_tile: int = 16,
+                                        interpret: bool = False,
+                                        residual_dtype: str = "float32"):
+    """Whole-sequence DCGRU layer recurrence as two Pallas kernels, with
+    the input contribution as ONE fused ``x_proj = [gate_x | cand_x]``
+    (T, B, N, 3H) stream.
 
-    Same contract as :func:`eeg_gnn_tpu.ops.recurrent.dcgru_layer_recurrence`
+    The fused stream lets the hoisted input GEMM's (..., 3H) output feed
+    the kernel directly — no gate/cand slice pair on the forward and no
+    concat on the backward (those were ~0.7 ms/step of HBM-bound data
+    movement at the flagship shape; round-4 trace). Otherwise the same
+    contract as :func:`eeg_gnn_tpu.ops.recurrent.dcgru_layer_recurrence`
     (operator stack in, (h_last, h_seq) out, no gradient for ``a_ops``);
     ``batch_tile`` clips are processed per grid step with compact per-clip
-    operator slabs (a single shared slab when the stack is batch-broadcast).
-    ``interpret=True`` runs the Mosaic interpreter (CPU tests).
-    ``residual_dtype="bfloat16"`` halves the HBM traffic of the saved ru/c
-    residuals (and the gate_x/cand_x streams when those arrive as bf16) at
-    ~1e-3 gradient noise — the kernel state and all accumulation stay f32.
+    operator slabs (a single shared slab when the stack is
+    batch-broadcast). ``interpret=True`` runs the Mosaic interpreter (CPU
+    tests). ``residual_dtype="bfloat16"`` halves the HBM traffic of the
+    saved ru/c residuals, the x_proj stream (when it arrives as bf16) and
+    the backward's x-cotangent stream at ~1e-3 gradient noise — the
+    kernel state and all accumulation stay f32.
     """
-    h_seq, _ = _forward(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b,
+    h_seq, _ = _forward(a_ops, x_proj, wg_r, wc_r, gate_b, cand_b,
                         h0, activation, batch_tile, interpret,
                         residual_dtype)
     return h_seq[-1], h_seq
 
 
-def _vjp_fwd(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0,
+def _vjp_fwd(a_ops, x_proj, wg_r, wc_r, gate_b, cand_b, h0,
              activation, batch_tile, interpret, residual_dtype):
     h_seq, (a_c, h_seq_flat, ru_seq, c_seq, shared, dims) = _forward(
-        a_ops, gate_x, cand_x, wg_r, wc_r, gate_b, cand_b, h0, activation,
+        a_ops, x_proj, wg_r, wc_r, gate_b, cand_b, h0, activation,
         batch_tile, interpret, residual_dtype)
     t, b, n, np_, tb, g, j = dims
     rows = tb * np_
@@ -545,15 +555,31 @@ def _vjp_bwd(activation, batch_tile, interpret, residual_dtype, res, grads):
     d_pad = _pad_axis(_pad_axis(d_seq, 1, g * tb), 2, np_)
     d_flat = d_pad.reshape(t, g * rows, h_units)
 
-    dgx, dcx, dwg, dwc, dbg, dbc, dh0 = _backward(
+    dxp, dwg, dwc, dbg, dbc, dh0 = _backward(
         a_c, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq, d_flat,
-        activation, interpret, shared, dims)
+        activation, interpret, shared, dims,
+        residual_dtype=jnp.dtype(residual_dtype))
     # a_ops gradient intentionally zero (supports are data, never trained);
     # cotangent dtypes/shapes must match the (possibly bf16) primal streams
     m = wg_r.shape[0]
     da = jnp.zeros((m, 1 if shared else b, n, n), jnp.float32)
     io = jnp.dtype(residual_dtype)
-    return (da, dgx.astype(io), dcx.astype(io), dwg, dwc, dbg, dbc, dh0)
+    return (da, dxp.astype(io), dwg, dwc, dbg, dbc, dh0)
 
 
-dcgru_layer_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+dcgru_layer_recurrence_pallas_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
+                                  cand_b, h0, activation: str = "tanh",
+                                  batch_tile: int = 16,
+                                  interpret: bool = False,
+                                  residual_dtype: str = "float32"):
+    """Separate-stream convenience wrapper over the fused kernel (tests /
+    parity harnesses / micro-benches keep the historical gate_x + cand_x
+    signature; the model path calls the fused entry directly to avoid
+    materializing the split)."""
+    x_proj = jnp.concatenate([gate_x, cand_x], axis=-1)
+    return dcgru_layer_recurrence_pallas_fused(
+        a_ops, x_proj, wg_r, wc_r, gate_b, cand_b, h0, activation,
+        batch_tile, interpret, residual_dtype)
