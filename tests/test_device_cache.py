@@ -374,6 +374,95 @@ def test_mesh_cached_step_matches_single_device(corpus):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_mesh_cached_ssl_and_classification_steps(corpus):
+    """The mesh-sharded cached step also drives the SSL (batches_seen
+    carried on device) and classification (per-row seq_lengths gathered
+    from the sharded cache) loss paths: one step each on the 8-device
+    mesh, finite loss, counters advance."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.config import ExperimentConfig
+    from eeg_gnn_tpu.data.device_cache import shard_cache
+    from eeg_gnn_tpu.data.device_pipeline import make_device_pipeline
+    from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
+    from eeg_gnn_tpu.models.registry import build_model
+    from eeg_gnn_tpu.parallel.mesh import make_mesh
+    from eeg_gnn_tpu.train.optim import make_optimizer
+    from eeg_gnn_tpu.train.step import (
+        local_cache_gather,
+        make_mesh_cached_train_step,
+        ssl_loss_fn,
+        supervised_loss_fn,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh("data:8")
+    gather = local_cache_gather(mesh)
+    spec = NamedSharding(mesh, P(None, "data"))
+    n, t, t_out, batch = 17, 3, 2, 8
+    rng0 = np.random.RandomState(0)
+    optimizer = make_optimizer(1e-3, 0.0, 5.0, 1, 1)
+
+    def run_one(cache, loss_fn, has_seen):
+        idx_mat, mask_mat = cache.mesh_epoch_plan(
+            batch, 8, True, np.random.RandomState(1))
+        cache = shard_cache(cache, mesh)
+        if has_seen:
+            params = init_next_time_pred_model(jax.random.PRNGKey(0), mcfg)
+            mstate = {}
+        else:
+            params, mstate = bundle.init(jax.random.PRNGKey(0))
+        step = make_mesh_cached_train_step(
+            loss_fn, optimizer, t, batch, has_batches_seen=has_seen,
+            donate=False)
+        out = step(
+            params, mstate, optimizer.init(params), jax.random.PRNGKey(3),
+            jnp.int32(0), jnp.int32(0),
+            jnp.zeros((idx_mat.shape[0],), jnp.float32),
+            {"x": cache.x, "y": cache.y, "seq": cache.seq},
+            jax.device_put(jnp.asarray(idx_mat), spec),
+            jax.device_put(jnp.asarray(mask_mat), spec))
+        losses, seen = out[-1], out[-2]
+        assert np.isfinite(float(losses[0]))
+        assert int(seen) == int(mask_mat[0].sum())
+
+    # SSL: x + target-feature pair cache
+    cfg_ssl = ExperimentConfig(
+        do_train=True, task="SS pre-training", graph_type="combined",
+        max_seq_len=t, output_seq_len=t_out, num_rnn_layers=1,
+        rnn_units=16, max_diffusion_step=1, input_dim=8, output_dim=8,
+    ).finalize()
+    mcfg = cfg_ssl.dcrnn_config()
+    pipe = make_device_pipeline(
+        graph_type="combined", filter_type=cfg_ssl.filter_type, top_k=None,
+        use_fft=True, time_step_size=1, scaler=None, augment=True,
+        adj_mat_dir=corpus["adj_mat_dir"], num_nodes=19)
+    cache = DeviceDatasetCache(
+        rng0.randn(n, t, 19, 8).astype(np.float32),
+        rng0.randn(n, t_out, 19, 8).astype(np.float32), t)
+    run_one(cache, ssl_loss_fn(mcfg, jnp.float32(0.0), jnp.float32(1.0),
+                               input_pipeline=pipe, cache_gather=gather),
+            True)
+
+    # classification: padded clips + int labels + per-row lengths
+    cfg_cls = ExperimentConfig(
+        do_train=True, task="classification", graph_type="combined",
+        max_seq_len=t, num_rnn_layers=1, rnn_units=16,
+        max_diffusion_step=1, input_dim=8, num_classes=4,
+    ).finalize()
+    bundle = build_model(cfg_cls)
+    feats = rng0.randn(n, t, 19, 8).astype(np.float32)
+    lens = rng0.randint(1, t + 1, n).astype(np.int32)
+    for i in range(n):  # zero-pad beyond the true length
+        feats[i, lens[i]:] = 0.0
+    cache = DeviceDatasetCache(feats, rng0.randint(0, 4, n).astype(
+        np.float32), t, seq_lengths=lens)
+    run_one(cache, supervised_loss_fn(bundle, "classification",
+                                      input_pipeline=pipe,
+                                      cache_gather=gather), False)
+
+
 def test_rotating_cache_eval_matches_resident(corpus):
     """Beyond-HBM rotating cache (3 forced shards, double-buffered
     prefetch) evaluates identically to the fits-in-HBM resident cache —
