@@ -23,7 +23,7 @@ import numpy as np
 
 BATCH = 128  # measured-best on v5e (benchmarks/batch_sweep_results.json,
 # round-2 grouped-compact kernel): step time is linear in B; bf16 B=128 is
-# the throughput point of record (11.4k clips/s r4 vs 8.9k f32)
+# the throughput point of record (18.0k clips/s r4 x-in-kernel vs 14.0k f32)
 T = 60
 N_NODES = 19
 INPUT_DIM = 100
@@ -44,7 +44,7 @@ def _flagship_batch(batch):
 
 
 def bench_ours(batch=BATCH, iters=100, warmup=10, dtype="bfloat16",
-               batch_tile=48) -> float:
+               batch_tile=36) -> float:
     import jax
     import jax.numpy as jnp
 

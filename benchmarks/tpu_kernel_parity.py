@@ -45,8 +45,12 @@ if _root not in sys.path:
 # schedules* of the same math compound independently.
 F32_TOL = 5e-3   # f32 streams/residuals (dots still bf16-pass on both sides)
 BF16_TOL = 2e-2  # bf16 streams + bf16 saved residuals on the Pallas side only
+XIN_F32_TOL = 8e-3  # x-in-kernel f32: the in-kernel input diffusion +
+# projection add two more bf16-MXU-pass dot layers per timestep vs the
+# hoisted oracle's schedule, compounding over the T=60 recurrence
+# (interpreter parity is exact at 1e-7, so this is pure associativity).
 # Measured on TPU v5e (2026-08, this harness): f32 worst 3.1e-3, bf16 worst
-# 6.8e-3 — both tolerances carry ~1.6x / 3x headroom over measurement.
+# 8.6e-3, xin-f32 worst 5.1e-3 — tolerances carry ~1.6x headroom each.
 
 OUT = os.path.join(os.path.dirname(__file__), "tpu_kernel_parity.json")
 
@@ -142,6 +146,99 @@ def run_case(name, *, t=60, b=37, n=19, h=64, num_supports=1, k=2,
     }
 
 
+def run_case_xin(name, *, t=60, b=37, n=19, h=64, d=100, num_supports=1,
+                 k=2, shared=False, bf16=False, tile=32, seed=0):
+    """x-in-kernel entry (dcgru_layer_recurrence_pallas_xin: raw input +
+    in-kernel input diffusion/projection — the round-4 default model
+    path) vs the stacked oracle with an externally hoisted x_proj."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.ops.diffusion import chebyshev_diffusion
+    from eeg_gnn_tpu.ops.pallas_recurrent import (
+        dcgru_layer_recurrence_pallas_xin,
+    )
+    from eeg_gnn_tpu.ops.recurrent import dcgru_layer_recurrence
+
+    rng = np.random.RandomState(seed)
+    a, (_, _, wg, wc, bg, bc, h0), (wl, wlast), m, tile = _make_case(
+        rng, t=t, b=b, n=n, h=h, num_supports=num_supports, k=k,
+        shared=shared, bf16=bf16, tile=tile)
+    io = jnp.bfloat16 if bf16 else jnp.float32
+    x = jnp.asarray(rng.randn(t, b, n, d) * 0.5, jnp.float32).astype(io)
+    wxg = jnp.asarray(rng.randn(d * m, 2 * h) * 0.05, jnp.float32)
+    wxc = jnp.asarray(rng.randn(d * m, h) * 0.05, jnp.float32)
+    wxg_f = wxg.reshape(d, m, 2 * h).transpose(1, 0, 2).reshape(m * d, -1)
+    wxc_f = wxc.reshape(d, m, h).transpose(1, 0, 2).reshape(m * d, -1)
+    rdt = "bfloat16" if bf16 else "float32"
+
+    # the oracle hoists x through the SAME operator stack a (apply the
+    # stacked operators directly so shared/per-clip both work)
+    def hoist_xp(xf32):
+        # a: (M, 1|B, N, N); terms are exactly a_m @ x (the operator stack
+        # already encodes the Chebyshev recurrence + carry-over quirk)
+        feats = jnp.einsum("mbij,tbjd->tbidm",
+                           jnp.broadcast_to(a, (m, b, n, n)), xf32)
+        flat = feats.reshape(t, b, n, d * m)  # (d, m) d-major
+        return flat @ wxg, flat @ wxc
+
+    def loss_stacked(op):
+        x_, wxg_, wxc_, wg_, wc_, bg_, bc_, h0_ = op
+        # recompute hoist with the differentiable weights
+        feats = jnp.einsum("mbij,tbjd->tbidm",
+                           jnp.broadcast_to(a, (m, b, n, n)),
+                           x_.astype(jnp.float32))
+        flat = feats.reshape(t, b, n, d * m)
+        gx = flat @ wxg_
+        cx = flat @ wxc_
+        hl, hs = dcgru_layer_recurrence(a, gx, cx, wg_, wc_, bg_, bc_,
+                                        h0_, "tanh")
+        return jnp.sum(hs * wl) + jnp.sum(hl * wlast)
+
+    def loss_pallas(op):
+        x_, wxg_, wxc_, wg_, wc_, bg_, bc_, h0_ = op
+        wxg_r = wxg_.reshape(d, m, 2 * h).transpose(1, 0, 2).reshape(
+            m * d, -1)
+        wxc_r = wxc_.reshape(d, m, h).transpose(1, 0, 2).reshape(m * d, -1)
+        hl, hs = dcgru_layer_recurrence_pallas_xin(
+            a, x_, wxg_r, wxc_r, wg_, wc_, bg_, bc_, h0_, "tanh", tile,
+            False, rdt)
+        return jnp.sum(hs * wl) + jnp.sum(hl * wlast)
+
+    op = (x, wxg, wxc, wg, wc, bg, bc, h0)
+    gx_, cx_ = hoist_xp(x.astype(jnp.float32))
+    fwd_s = jax.jit(lambda op: dcgru_layer_recurrence(
+        a, gx_, cx_, op[3], op[4], op[5], op[6], op[7], "tanh")[1])
+    fwd_p = jax.jit(lambda op: dcgru_layer_recurrence_pallas_xin(
+        a, op[0],
+        op[1].reshape(d, m, 2 * h).transpose(1, 0, 2).reshape(m * d, -1),
+        op[2].reshape(d, m, h).transpose(1, 0, 2).reshape(m * d, -1),
+        op[3], op[4], op[5], op[6], op[7], "tanh", tile, False, rdt)[1])
+    hs_s = np.asarray(fwd_s(op))
+    hs_p = np.asarray(fwd_p(op))
+
+    gs = jax.jit(jax.grad(loss_stacked))(op)
+    gp = jax.jit(jax.grad(loss_pallas))(op)
+
+    errs = {"h_seq": dict(zip(("max_abs", "rel"), _err(hs_p, hs_s)))}
+    for gname, pv, sv in zip(("x", "wxg", "wxc", "wg", "wc", "bg", "bc",
+                              "h0"), gp, gs):
+        errs[f"grad_{gname}"] = dict(zip(("max_abs", "rel"), _err(pv, sv)))
+
+    tol = BF16_TOL if bf16 else XIN_F32_TOL
+    worst = max(v["rel"] for v in errs.values())
+    return {
+        "name": name,
+        "config": {"t": t, "b": b, "n": n, "h": h, "m": m, "d": d,
+                   "shared": shared, "bf16": bf16, "tile": tile,
+                   "xin": True},
+        "errors": errs,
+        "worst_rel": worst,
+        "tol": tol,
+        "pass": bool(worst <= tol),
+    }
+
+
 CASES = [
     # name, kwargs
     ("f32_shared_M3_flagship", dict(shared=True, b=40)),
@@ -151,11 +248,19 @@ CASES = [
     ("bf16_perclip_M3_padded_batch", dict(shared=False, b=37, bf16=True)),
 ]
 
+XIN_CASES = [
+    ("xin_f32_perclip_M3", dict(shared=False, b=37)),
+    ("xin_bf16_perclip_M3", dict(shared=False, b=37, bf16=True)),
+    ("xin_bf16_shared_M3", dict(shared=True, b=40, bf16=True)),
+    ("xin_f32_perclip_M5_dualrw", dict(shared=False, b=24, num_supports=2)),
+]
+
 
 def run_all(write=True):
     import jax
 
-    results = [run_case(name, **kw) for name, kw in CASES]
+    results = ([run_case(name, **kw) for name, kw in CASES]
+               + [run_case_xin(name, **kw) for name, kw in XIN_CASES])
     report = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -176,9 +281,12 @@ def check_gate():
 
     if jax.default_backend() == "cpu":
         return  # Mosaic kernels are TPU-only; nothing to gate
-    for name, kw in (("gate_f32", dict(shared=True, b=32)),
-                     ("gate_bf16", dict(shared=True, b=32, bf16=True))):
-        r = run_case(name, **kw)
+    gates = (("gate_f32", run_case, dict(shared=True, b=32)),
+             ("gate_bf16", run_case, dict(shared=True, b=32, bf16=True)),
+             ("gate_xin_bf16", run_case_xin,
+              dict(shared=False, b=32, bf16=True)))
+    for name, fn, kw in gates:
+        r = fn(name, **kw)
         if not r["pass"]:
             raise RuntimeError(
                 f"TPU kernel parity regression ({name}): worst rel error "

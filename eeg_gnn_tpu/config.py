@@ -83,10 +83,16 @@ class ExperimentConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the DCGRU time loop
     fused_steps: int = 1  # optimizer steps fused into one XLA program
     recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
-    batch_tile: int = 48  # clips per grid step in the Pallas whole-sequence
-    # recurrence kernels (perf knob; VMEM-bounded). 48 measured best at
-    # B=128 with the round-4 fused-stream kernels (benchmarks/NOTES.md
-    # round-4 section); auto-clamped for small batches.
+    input_fusion: bool = True  # run the input diffusion + projection
+    # INSIDE the Pallas recurrence kernels (no external x_proj GEMM):
+    # measured 11.4k -> 18.0k clips/s bf16 B=128 (f32 7.8k -> 14.0k) on
+    # v5e; numerics parity-gated on chip (benchmarks/tpu_kernel_parity).
+    # --recurrence stacked or non-TPU backends ignore it.
+    batch_tile: int = 36  # clips per grid step in the Pallas whole-sequence
+    # recurrence kernels (perf knob; VMEM-bounded). 36 measured best at
+    # B=128 with the round-4 x-in-kernel path (48 for the hoisted path;
+    # benchmarks/NOTES.md round-4 section); auto-clamped to the VMEM
+    # budget and for small batches.
 
     # Derived
     maximize_metric: bool = True
@@ -138,6 +144,7 @@ class ExperimentConfig:
             compute_dtype=self.dtype,
             recurrence=self.recurrence,
             batch_tile=self.batch_tile,
+            input_fusion=self.input_fusion,
         )
 
     def to_json(self) -> str:
@@ -237,6 +244,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "diffusion with XLA auto-adjoint; or whole-sequence "
                         "Pallas kernels (TPU; falls back to stacked "
                         "elsewhere).")
+    p.add_argument("--no_input_fusion", dest="input_fusion",
+                   action="store_false", default=d.input_fusion,
+                   help="Disable the in-kernel input diffusion + "
+                        "projection (fall back to the hoisted x_proj "
+                        "GEMM path).")
     p.add_argument("--batch_tile", type=int, default=d.batch_tile,
                    help="Clips packed per block-diagonal operator in the "
                         "Pallas whole-sequence recurrence kernels.")

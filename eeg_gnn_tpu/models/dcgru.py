@@ -59,6 +59,10 @@ class DCGRUConfig:
     batch_tile: int = 32  # clips per grid step in the whole-sequence Pallas
     # kernels (measured best; auto-clamped to the VMEM budget and rounded to
     # a group multiple in ops/pallas_recurrent._prep)
+    input_fusion: bool = False  # run the INPUT diffusion + projection
+    # inside the Pallas kernels too (dcgru_layer_recurrence_pallas_xin):
+    # no externally materialized x_proj. Perf-experimental knob; numerics
+    # match the hoisted path (interpreter + on-chip parity gated).
 
     @property
     def num_matrices(self) -> int:
@@ -216,23 +220,25 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
         return jnp.matmul(feat, wx_terms[:, mi],
                           preferred_element_type=jnp.float32)
 
-    # same term recurrence (and deliberate cross-support carry-over quirk)
-    # as ops/diffusion.chebyshev_diffusion
-    x_proj = term_gemm(x_c, 0)
-    mi = 1
-    if k > 0:
-        x0_, x1_ = x_c, None
-        for s in supports_c:
-            x1_ = jnp.matmul(s, x0_)
-            x_proj = x_proj + term_gemm(x1_, mi)
-            mi += 1
-            for _ in range(2, k + 1):
-                x2 = 2.0 * jnp.matmul(s, x1_) - x0_
-                x_proj = x_proj + term_gemm(x2, mi)
+    def compute_x_proj():
+        # same term recurrence (and deliberate cross-support carry-over
+        # quirk) as ops/diffusion.chebyshev_diffusion
+        x_proj = term_gemm(x_c, 0)
+        mi = 1
+        if k > 0:
+            x0_, x1_ = x_c, None
+            for s in supports_c:
+                x1_ = jnp.matmul(s, x0_)
+                x_proj = x_proj + term_gemm(x1_, mi)
                 mi += 1
-                x1_, x0_ = x2, x1_
-    if bf16:
-        x_proj = x_proj.astype(jnp.bfloat16)
+                for _ in range(2, k + 1):
+                    x2 = 2.0 * jnp.matmul(s, x1_) - x0_
+                    x_proj = x_proj + term_gemm(x2, mi)
+                    mi += 1
+                    x1_, x0_ = x2, x1_
+        if bf16:
+            x_proj = x_proj.astype(jnp.bfloat16)
+        return x_proj
 
     recurrence = cfg.recurrence
     if recurrence == "pallas" and jax.default_backend() != "tpu":
@@ -256,7 +262,25 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
             rearrange_hidden_weight(wh_cand, h_units, m),
             params["gate_b"], params["cand_b"], h0,
         )
-        if recurrence == "pallas":
+        if recurrence == "pallas" and getattr(cfg, "input_fusion", False):
+            from eeg_gnn_tpu.ops.pallas_recurrent import (
+                dcgru_layer_recurrence_pallas_xin,
+            )
+
+            # x-in-kernel: the RAW input streams into the kernel and the
+            # input diffusion + projection run inside it — no externally
+            # materialized x_proj at all (reference-layout (d, m)-major
+            # input weights rearranged m-major for the packed in-kernel
+            # dots)
+            wxg_f = wx_gate.reshape(din, m_total, -1).transpose(
+                1, 0, 2).reshape(m_total * din, -1)
+            wxc_f = wx_cand.reshape(din, m_total, -1).transpose(
+                1, 0, 2).reshape(m_total * din, -1)
+            h_last, h_seq = dcgru_layer_recurrence_pallas_xin(
+                a_ops, x_c, wxg_f, wxc_f, *wh_args, cfg.activation,
+                cfg.batch_tile, False,
+                "bfloat16" if bf16 else "float32")
+        elif recurrence == "pallas":
             from eeg_gnn_tpu.ops.pallas_recurrent import (
                 dcgru_layer_recurrence_pallas_fused,
             )
@@ -265,10 +289,11 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
             # (no gate/cand split; bf16 inputs + ru/c residuals at half
             # HBM); state and accumulation stay f32.
             h_last, h_seq = dcgru_layer_recurrence_pallas_fused(
-                a_ops, x_proj, *wh_args, cfg.activation,
+                a_ops, compute_x_proj(), *wh_args, cfg.activation,
                 cfg.batch_tile, False,
                 "bfloat16" if bf16 else "float32")
         else:
+            x_proj = compute_x_proj()
             gate_x = x_proj[..., : 2 * h_units].astype(jnp.float32)
             cand_x = x_proj[..., 2 * h_units:].astype(jnp.float32)
             h_last, h_seq = dcgru_layer_recurrence(
@@ -302,6 +327,7 @@ def _layer_scan(cfg: DCGRUConfig, params, supports, x_seq, h0):
             rh_feat = _flat(chebyshev_diffusion(supports, rh, k))
             return jnp.matmul(rh_feat, wh_cand) + params["cand_b"]
 
+    x_proj = compute_x_proj()
     gate_x = x_proj[..., : 2 * h_units].astype(jnp.float32)
     cand_x = x_proj[..., 2 * h_units:].astype(jnp.float32)
 
@@ -327,13 +353,13 @@ def encoder_configs(input_dim, num_units, max_diffusion_step, num_nodes,
                     num_supports, num_layers, activation="tanh",
                     use_pallas=False, scan_unroll=1,
                     compute_dtype="float32", recurrence="pallas",
-                    batch_tile=32):
+                    batch_tile=32, input_fusion=False):
     """Per-layer cell configs: layer 0 consumes input_dim, the rest num_units
     (reference model.py:58-79)."""
     mk = lambda d: DCGRUConfig(d, num_units, max_diffusion_step, num_nodes,
                                num_supports, activation, use_pallas,
                                scan_unroll, compute_dtype, recurrence,
-                               batch_tile)
+                               batch_tile, input_fusion)
     return [mk(input_dim)] + [mk(num_units)] * (num_layers - 1)
 
 

@@ -46,6 +46,8 @@ class DCRNNConfig:
     compute_dtype: str = "float32"
     recurrence: str = "pallas"
     batch_tile: int = 32  # Pallas whole-sequence kernel clip-packing tile
+    input_fusion: bool = False  # in-kernel input diffusion + projection
+    # (ops/pallas_recurrent.dcgru_layer_recurrence_pallas_xin)
 
     def encoder_cfgs(self):
         return encoder_configs(
@@ -53,6 +55,7 @@ class DCRNNConfig:
             self.num_nodes, self.num_supports, self.num_rnn_layers,
             self.dcgru_activation, self.use_pallas, self.scan_unroll,
             self.compute_dtype, self.recurrence, self.batch_tile,
+            self.input_fusion,
         )
 
 

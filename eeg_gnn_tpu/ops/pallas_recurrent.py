@@ -583,3 +583,451 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
     return dcgru_layer_recurrence_pallas_fused(
         a_ops, x_proj, wg_r, wc_r, gate_b, cand_b, h0, activation,
         batch_tile, interpret, residual_dtype)
+
+
+# ---------------------------------------------------------------------------
+# x-in-kernel variant: the INPUT diffusion + projection run inside the
+# recurrence kernels too (round-4; NOTES.md "Round 4" accounting). The
+# hoisted-x path above streams a precomputed (T, B, N, 3H) x_proj; at the
+# flagship shape the external per-term GEMM family + its layout glue cost
+# ~3 ms/step. Here the kernel reads the RAW (T, B, N, D) input stream and
+# computes xp itself: the forward fuses the x-diffusion into the same
+# per-group A-dot as the state diffusion ([h | x] -> one (M*J*Np, J*Np) x
+# (J*Np, H+D) dot), the backward recomputes [h_prev | r*h | x] in one
+# widened dot, accumulates dWx like dWh, and fuses the x-cotangent
+# A^T-applies with the state ones (dy slabs widened to H+D). Operator-dot
+# COUNT is unchanged in both directions; the extra work is the in-kernel
+# (rows, M*D) x (M*D, 2H|H) projections, which ride the same MXU pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes):
+    """Largest legal tile (multiple of the group size) whose BWD working
+    set fits the VMEM budget — computed from direct byte counts (the
+    hoisted-path heuristic undercounts the widened scratches here)."""
+    j = max(1, 128 // np_)
+
+    def fits(tb):
+        rows, gr = tb * np_, j * np_
+        a = 0 if shared else 2 * (tb // j) * m * gr * gr * 4
+        streams = 2 * rows * (5 * h + 2 * d) * io_bytes  # in+out, dbl-buf
+        scr = 4 * (rows * (h + 2 * m * h + m * d + h + d)
+                   + (tb // j) * m * gr * (h + d))
+        weights = 4 * (3 * m * h * h + 2 * m * h * h + 3 * m * d * h)
+        # budget calibrated on-chip (v5e, 16 MB VMEM): at the flagship
+        # shape the estimate's 10.4 MB (bf16 tile 44) compiles and
+        # 11.3 MB (tile 48) gets a Mosaic oversubscription failure —
+        # 10.5 MB splits the observed pass/fail boundary
+        return a + streams + scr + weights <= 10.5e6
+
+    tb = max(1, min(batch_tile, b))
+    if tb > j:
+        tb = (tb // j) * j
+    while tb > j and not fits(tb):
+        tb -= j
+    return tb
+
+
+def _prep_xin(a_ops, x_seq, h0, batch_tile, io_bytes):
+    t, b, n, d = x_seq.shape
+    m = a_ops.shape[0]
+    np_ = -(-n // 8) * 8
+    shared = a_ops.shape[1] == 1
+    h = h0.shape[-1]
+    tb = _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes)
+    j = _group_size(tb, np_)
+    g = -(-b // tb)
+    bp = g * tb
+
+    if bp != b:
+        x_seq = _pad_axis(x_seq, 1, bp)
+        h0 = _pad_axis(h0, 0, bp)
+        if not shared:
+            a_ops = _pad_axis(a_ops, 1, bp)
+    x_seq = _pad_axis(x_seq, 2, np_)
+    h0 = _pad_axis(h0, 1, np_)
+    a_ops = _pad_axis(_pad_axis(a_ops, 2, np_), 3, np_)
+
+    if shared:
+        bd = _group_blockdiag(
+            jnp.broadcast_to(a_ops[:, 0:1], (m, j, np_, np_)), j, np_)
+        a_c = bd.reshape(m * j * np_, j * np_)
+    else:
+        bd = _group_blockdiag(a_ops, j, np_)
+        a_c = bd.reshape(g, (tb // j) * m * j * np_, j * np_)
+
+    xs = x_seq.reshape(t, g * tb * np_, d)
+    h0f = h0.reshape(g, tb * np_, -1)
+    return a_c, xs, h0f, shared, (t, b, n, np_, tb, g, j)
+
+
+def _fwd_kernel_xin(a_ref, wxg_ref, wxc_ref, wg_ref, wc_ref, bg_ref,
+                    bc_ref, h0_ref, x_ref, hseq_ref, ru_ref, c_ref,
+                    h_scr, feats_scr, xfeats_scr,
+                    *, m: int, np_: int, tb: int, j: int, h_units: int,
+                    d_in: int, activation: str, shared: bool):
+    act, _ = _act_pair(activation)
+    t = pl.program_id(1)
+    gr = j * np_
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[0]
+
+    h = h_scr[:]
+    x = x_ref[0].astype(jnp.float32)
+    a_shared = a_ref[:] if shared else None
+
+    def diffuse(x2d, width_split=None):
+        """Per-group dots -> packed feats_scr (rows, M*H) (+ optionally
+        xfeats_scr (rows, M*D) when diffusing [h | x])."""
+        for i in range(tb // j):
+            a_blk = a_shared if shared else \
+                a_ref[0][i * m * gr:(i + 1) * m * gr]
+            f = _dot(a_blk, x2d[i * gr:(i + 1) * gr])
+            for mi in range(m):
+                blk = f[mi * gr:(mi + 1) * gr]
+                feats_scr[i * gr:(i + 1) * gr,
+                          mi * h_units:(mi + 1) * h_units] = \
+                    blk[:, :h_units]
+                if width_split is not None:
+                    xfeats_scr[i * gr:(i + 1) * gr,
+                               mi * d_in:(mi + 1) * d_in] = \
+                        blk[:, h_units:]
+
+    # ONE widened dot per group diffuses state AND input
+    diffuse(jnp.concatenate([h, x], axis=1), width_split=h_units)
+    xg = _dot(xfeats_scr[:], wxg_ref[:])
+    gate = xg + bg_ref[:] + _dot(feats_scr[:], wg_ref[:])
+    ru = jax.nn.sigmoid(gate)
+    r, u = ru[:, :h_units], ru[:, h_units:]
+
+    diffuse(r * h)
+    xc = _dot(xfeats_scr[:], wxc_ref[:])
+    c = act(xc + bc_ref[:] + _dot(feats_scr[:], wc_ref[:]))
+
+    h_new = u * h + (1.0 - u) * c
+    h_scr[:] = h_new
+    hseq_ref[0] = h_new.astype(hseq_ref.dtype)
+    ru_ref[0] = ru.astype(ru_ref.dtype)
+    c_ref[0] = c.astype(c_ref.dtype)
+
+
+def _bwd_kernel_xin(a_ref, wxg_ref, wxc_ref, wg_ref, wc_ref, hprev_ref,
+                    ru_ref, c_ref, x_ref, dseq_ref,
+                    dx_ref, dh0_ref, dwxg_ref, dwxc_ref, dwg_ref, dwc_ref,
+                    dbg_ref, dbc_ref,
+                    dh_scr, hfeats_scr, rfeats_scr, xfeats_scr, dy_scr,
+                    adj_scr,
+                    *, m: int, np_: int, tb: int, j: int, h_units: int,
+                    d_in: int, activation: str, t_total: int, shared: bool):
+    _, act_grad = _act_pair(activation)
+    gidx = pl.program_id(0)
+    tg = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(gidx == 0, tg == 0))
+    def _():
+        dwxg_ref[:] = jnp.zeros_like(dwxg_ref)
+        dwxc_ref[:] = jnp.zeros_like(dwxc_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
+        dbc_ref[:] = jnp.zeros_like(dbc_ref)
+
+    @pl.when(tg == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    ru = ru_ref[0].astype(jnp.float32)
+    c = c_ref[0].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32)
+    r, u = ru[:, :h_units], ru[:, h_units:]
+
+    g = dh_scr[:] + dseq_ref[0].astype(jnp.float32)
+    du = g * (h_prev - c)
+    dc = g * (1.0 - u)
+    dc_pre = dc * act_grad(c)
+
+    gr = j * np_
+    a_shared = a_ref[:] if shared else None
+    # recompute the three diffusions in ONE widened dot per group:
+    # [h_prev | r*h | x] -> hfeats, rfeats (m-in-lanes, M*H) + xfeats (M*D)
+    rh = r * h_prev
+    for i in range(tb // j):
+        a_blk = a_shared if shared else \
+            a_ref[0][i * m * gr:(i + 1) * m * gr]
+        x2 = jnp.concatenate(
+            [h_prev[i * gr:(i + 1) * gr], rh[i * gr:(i + 1) * gr],
+             x[i * gr:(i + 1) * gr]], axis=1)
+        f = _dot(a_blk, x2)
+        for mi in range(m):
+            blk = f[mi * gr:(mi + 1) * gr]
+            hfeats_scr[i * gr:(i + 1) * gr,
+                       mi * h_units:(mi + 1) * h_units] = blk[:, :h_units]
+            rfeats_scr[i * gr:(i + 1) * gr,
+                       mi * h_units:(mi + 1) * h_units] = \
+                blk[:, h_units:2 * h_units]
+            xfeats_scr[i * gr:(i + 1) * gr,
+                       mi * d_in:(mi + 1) * d_in] = blk[:, 2 * h_units:]
+
+    def apply_ops_t():
+        """Fused A^T-apply at width H + D: dy_scr slabs carry the state
+        cotangent in lanes [:H] and the x cotangent in [H:]."""
+        for i in range(tb // j):
+            a_blk = a_shared if shared else \
+                a_ref[0][i * m * gr:(i + 1) * m * gr]
+            adj_scr[i * gr:(i + 1) * gr, :] = jax.lax.dot_general(
+                a_blk, dy_scr[i],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PRECISION)
+
+    def scatter_dy(dy_h, dy_x):
+        """(rows, M*H) + (rows, M*D) weight-transpose products ->
+        per-group m-major rows, H+D wide."""
+        for i in range(tb // j):
+            for mi in range(m):
+                dy_scr[i, mi * gr:(mi + 1) * gr, :h_units] = \
+                    dy_h[i * gr:(i + 1) * gr,
+                         mi * h_units:(mi + 1) * h_units]
+                dy_scr[i, mi * gr:(mi + 1) * gr, h_units:] = \
+                    dy_x[i * gr:(i + 1) * gr, mi * d_in:(mi + 1) * d_in]
+
+    def wt_dot(dy, w_ref):
+        return jax.lax.dot_general(
+            dy, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+
+    def acc_dot(feats, dy):
+        return jax.lax.dot_general(
+            feats, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PRECISION)
+
+    # candidate path
+    dwc_ref[:] += acc_dot(rfeats_scr[:], dc_pre)
+    dwxc_ref[:] += acc_dot(xfeats_scr[:], dc_pre)
+    scatter_dy(wt_dot(dc_pre, wc_ref), wt_dot(dc_pre, wxc_ref))
+    dbc_ref[:] += jnp.sum(dc_pre, axis=0, keepdims=True)
+    apply_ops_t()
+    drh = adj_scr[:, :h_units]
+    dx = adj_scr[:, h_units:]
+
+    dr = drh * h_prev
+    dru_pre = jnp.concatenate([dr, du], axis=1) * ru * (1.0 - ru)
+
+    # gate path
+    dwg_ref[:] += acc_dot(hfeats_scr[:], dru_pre)
+    dwxg_ref[:] += acc_dot(xfeats_scr[:], dru_pre)
+    scatter_dy(wt_dot(dru_pre, wg_ref), wt_dot(dru_pre, wxg_ref))
+    dbg_ref[:] += jnp.sum(dru_pre, axis=0, keepdims=True)
+    apply_ops_t()
+
+    dh_prev = g * u + drh * r + adj_scr[:, :h_units]
+    dx = dx + adj_scr[:, h_units:]
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dh_scr[:] = dh_prev
+
+    @pl.when(tg == t_total - 1)
+    def _():
+        dh0_ref[0] = dh_prev
+
+
+def _forward_xin(a_ops, x_seq, wxg_f, wxc_f, wg_r, wc_r, gate_b, cand_b,
+                 h0, activation, batch_tile, interpret,
+                 residual_dtype=jnp.float32):
+    io_bytes = 2 if jnp.dtype(residual_dtype) == jnp.bfloat16 else 4
+    a_c, xs, h0f, shared, dims = _prep_xin(a_ops, x_seq, h0, batch_tile,
+                                           io_bytes)
+    t, b, n, np_, tb, g, j = dims
+    m = a_ops.shape[0]
+    h_units = h0.shape[-1]
+    d_in = x_seq.shape[-1]
+    rows = tb * np_
+    wg_f = wg_r.reshape(m * h_units, -1)
+    wc_f = wc_r.reshape(m * h_units, -1)
+
+    a_fwd_spec = _a_spec(shared, m, np_, tb, j)
+    kernel = functools.partial(
+        _fwd_kernel_xin, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
+        d_in=d_in, activation=activation, shared=shared)
+    wspec = lambda r_, c_: pl.BlockSpec((r_, c_), lambda i, jj: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    h_seq, ru_seq, c_seq = pl.pallas_call(
+        kernel,
+        grid=(g, t),
+        in_specs=[
+            a_fwd_spec,
+            wspec(m * d_in, 2 * h_units),
+            wspec(m * d_in, h_units),
+            wspec(m * h_units, 2 * h_units),
+            wspec(m * h_units, h_units),
+            wspec(1, 2 * h_units),
+            wspec(1, h_units),
+            pl.BlockSpec((1, rows, h_units), lambda i, jj: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, d_in), lambda i, jj: (jj, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, h_units), lambda i, jj: (jj, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 2 * h_units), lambda i, jj: (jj, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, h_units), lambda i, jj: (jj, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, g * rows, h_units), residual_dtype),
+            jax.ShapeDtypeStruct((t, g * rows, 2 * h_units), residual_dtype),
+            jax.ShapeDtypeStruct((t, g * rows, h_units), residual_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, h_units), jnp.float32),
+            pltpu.VMEM((rows, m * h_units), jnp.float32),
+            pltpu.VMEM((rows, m * d_in), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_c, wxg_f, wxc_f, wg_f, wc_f, gate_b.reshape(1, -1),
+      cand_b.reshape(1, -1), h0f, xs)
+
+    h_seq_out = h_seq.reshape(t, g * tb, np_, h_units)[:, :b, :n]
+    return h_seq_out, (a_c, xs, h_seq, ru_seq, c_seq, shared, dims)
+
+
+def _backward_xin(a_c, xs, wxg_f, wxc_f, wg_r, wc_r, h0f, h_seq_flat,
+                  ru_seq, c_seq, d_seq_flat, activation, interpret, shared,
+                  dims, residual_dtype=jnp.float32):
+    t, b, n, np_, tb, g, j = dims
+    m = wg_r.shape[0]
+    h_units = wc_r.shape[-1]
+    d_in = xs.shape[-1]
+    rows = tb * np_
+    wg_f = wg_r.reshape(m * h_units, -1)
+    wc_f = wc_r.reshape(m * h_units, -1)
+
+    h_prev = jnp.concatenate(
+        [h0f.reshape(1, g * rows, h_units).astype(h_seq_flat.dtype),
+         h_seq_flat[:-1]], axis=0)
+
+    a_fwd_spec = _a_spec(shared, m, np_, tb, j)
+    kernel = functools.partial(
+        _bwd_kernel_xin, m=m, np_=np_, tb=tb, j=j, h_units=h_units,
+        d_in=d_in, activation=activation, t_total=t, shared=shared)
+    rev = lambda i, jj: (t - 1 - jj, i, 0)
+    wspec = lambda r_, c_: pl.BlockSpec((r_, c_), lambda i, jj: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    (dx, dh0, dwxg, dwxc, dwg, dwc, dbg, dbc) = pl.pallas_call(
+        kernel,
+        grid=(g, t),
+        in_specs=[
+            a_fwd_spec,
+            wspec(m * d_in, 2 * h_units),
+            wspec(m * d_in, h_units),
+            wspec(m * h_units, 2 * h_units),
+            wspec(m * h_units, h_units),
+            pl.BlockSpec((1, rows, h_units), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 2 * h_units), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, h_units), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, d_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, h_units), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, d_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, h_units), lambda i, jj: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(m * d_in, 2 * h_units),
+            wspec(m * d_in, h_units),
+            wspec(m * h_units, 2 * h_units),
+            wspec(m * h_units, h_units),
+            wspec(1, 2 * h_units),
+            wspec(1, h_units),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, g * rows, d_in), residual_dtype),
+            jax.ShapeDtypeStruct((g, rows, h_units), jnp.float32),
+            jax.ShapeDtypeStruct((m * d_in, 2 * h_units), jnp.float32),
+            jax.ShapeDtypeStruct((m * d_in, h_units), jnp.float32),
+            jax.ShapeDtypeStruct((m * h_units, 2 * h_units), jnp.float32),
+            jax.ShapeDtypeStruct((m * h_units, h_units), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * h_units), jnp.float32),
+            jax.ShapeDtypeStruct((1, h_units), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, h_units), jnp.float32),          # dh carry
+            pltpu.VMEM((rows, m * h_units), jnp.float32),      # hfeats
+            pltpu.VMEM((rows, m * h_units), jnp.float32),      # rfeats
+            pltpu.VMEM((rows, m * d_in), jnp.float32),         # xfeats
+            pltpu.VMEM((tb // j, m * j * np_, h_units + d_in),
+                       jnp.float32),                           # dy slabs
+            pltpu.VMEM((rows, h_units + d_in), jnp.float32),   # A^T out
+        ],
+        interpret=interpret,
+    )(a_c, wxg_f, wxc_f, wg_f, wc_f, h_prev, ru_seq, c_seq, xs,
+      d_seq_flat)
+
+    dx = dx.reshape(t, g * tb, np_, d_in)[:, :b, :n]
+    dh0 = dh0.reshape(g * tb, np_, h_units)[:b, :n]
+    return (dx, dwxg, dwxc, dwg.reshape(m, h_units, 2 * h_units),
+            dwc.reshape(m, h_units, h_units), dbg.reshape(-1),
+            dbc.reshape(-1), dh0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def dcgru_layer_recurrence_pallas_xin(a_ops, x_seq, wxg_f, wxc_f, wg_r,
+                                      wc_r, gate_b, cand_b, h0,
+                                      activation: str = "tanh",
+                                      batch_tile: int = 16,
+                                      interpret: bool = False,
+                                      residual_dtype: str = "float32"):
+    """Whole-sequence DCGRU layer recurrence with the INPUT diffusion +
+    projection fused into the kernels: takes the raw (T, B, N, D) layer
+    input stream plus m-major input weights wxg_f (M*D, 2H) / wxc_f
+    (M*D, H) — no externally materialized x_proj at all. See the module
+    section comment for the fusion structure; numerics match the hoisted
+    path (same operator math, f32 accumulation)."""
+    h_seq, _ = _forward_xin(a_ops, x_seq, wxg_f, wxc_f, wg_r, wc_r,
+                            gate_b, cand_b, h0, activation, batch_tile,
+                            interpret, residual_dtype)
+    return h_seq[-1], h_seq
+
+
+def _vjp_fwd_xin(a_ops, x_seq, wxg_f, wxc_f, wg_r, wc_r, gate_b, cand_b,
+                 h0, activation, batch_tile, interpret, residual_dtype):
+    h_seq, (a_c, xs, h_seq_flat, ru_seq, c_seq, shared, dims) = \
+        _forward_xin(a_ops, x_seq, wxg_f, wxc_f, wg_r, wc_r, gate_b,
+                     cand_b, h0, activation, batch_tile, interpret,
+                     residual_dtype)
+    t, b, n, np_, tb, g, j = dims
+    rows = tb * np_
+    h0p = _pad_axis(_pad_axis(h0, 0, g * tb), 1, np_)
+    res = (a_c, xs, wxg_f, wxc_f, wg_r, wc_r, h0p.reshape(g, rows, -1),
+           h_seq_flat, ru_seq, c_seq, shared, dims)
+    return (h_seq[-1], h_seq), res
+
+
+def _vjp_bwd_xin(activation, batch_tile, interpret, residual_dtype, res,
+                 grads):
+    (a_c, xs, wxg_f, wxc_f, wg_r, wc_r, h0f, h_seq_flat, ru_seq, c_seq,
+     shared, dims) = res
+    t, b, n, np_, tb, g, j = dims
+    d_last, d_seq = grads
+    h_units = wc_r.shape[-1]
+    rows = tb * np_
+
+    d_seq = d_seq.at[-1].add(d_last)
+    d_pad = _pad_axis(_pad_axis(d_seq, 1, g * tb), 2, np_)
+    d_flat = d_pad.reshape(t, g * rows, h_units)
+
+    dx, dwxg, dwxc, dwg, dwc, dbg, dbc, dh0 = _backward_xin(
+        a_c, xs, wxg_f, wxc_f, wg_r, wc_r, h0f, h_seq_flat, ru_seq,
+        c_seq, d_flat, activation, interpret, shared, dims,
+        residual_dtype=jnp.dtype(residual_dtype))
+    m = wg_r.shape[0]
+    da = jnp.zeros((m, 1 if shared else b, n, n), jnp.float32)
+    return (da, dx.astype(xs.dtype), dwxg.astype(wxg_f.dtype),
+            dwxc.astype(wxc_f.dtype), dwg, dwc, dbg, dbc, dh0)
+
+
+dcgru_layer_recurrence_pallas_xin.defvjp(_vjp_fwd_xin, _vjp_bwd_xin)

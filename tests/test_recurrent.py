@@ -243,3 +243,75 @@ def test_pallas_recurrence_bf16_streams(rng):
     gref = jax.grad(loss_ref)(wg)
     np.testing.assert_allclose(np.asarray(g16[2]), np.asarray(gref),
                                rtol=0.1, atol=0.3)
+
+
+@pytest.mark.parametrize("num_supports,batch,tile,bf16", [
+    (1, 6, 4, False),   # padding (6 -> 8)
+    (2, 5, 2, False),   # dual-support + padding
+    (1, 8, 4, True),    # bf16 streams/residuals
+])
+def test_pallas_xin_matches_stacked(rng, num_supports, batch, tile, bf16):
+    """x-in-kernel recurrence (raw input + in-kernel input diffusion and
+    projection, the round-4 default TPU path) vs the stacked oracle with a
+    hoisted x_proj: forward and every gradient (Mosaic interpreter)."""
+    from eeg_gnn_tpu.ops.diffusion import chebyshev_diffusion
+    from eeg_gnn_tpu.ops.pallas_recurrent import (
+        dcgru_layer_recurrence_pallas_xin,
+    )
+    from eeg_gnn_tpu.ops.recurrent import (
+        chebyshev_operators,
+        dcgru_layer_recurrence,
+    )
+
+    t, n, h, d, k = 5, 19, 16, 12, 2
+    m = num_supports * k + 1
+    sup = jnp.asarray(np.abs(rng.randn(num_supports, batch, n, n)) / n,
+                      jnp.float32)
+    a = chebyshev_operators(sup, k)
+    io = jnp.bfloat16 if bf16 else jnp.float32
+    x = jnp.asarray(rng.randn(t, batch, n, d), jnp.float32).astype(io)
+    wxg = jnp.asarray(rng.randn(d * m, 2 * h) * 0.1, jnp.float32)
+    wxc = jnp.asarray(rng.randn(d * m, h) * 0.1, jnp.float32)
+    wg = jnp.asarray(rng.randn(m, h, 2 * h) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.randn(m, h, h) * 0.1, jnp.float32)
+    bg = jnp.asarray(rng.randn(2 * h) * 0.1, jnp.float32)
+    bc = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+    h0 = jnp.asarray(rng.randn(batch, n, h) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.randn(t, batch, n, h), jnp.float32)
+    rdt = "bfloat16" if bf16 else "float32"
+
+    def loss_s(op):
+        x_, wxg_, wxc_, wg_, wc_, bg_, bc_, h0_ = op
+        xf = chebyshev_diffusion(sup, x_.astype(jnp.float32), k).reshape(
+            t, batch, n, d * m)
+        hl, hs = dcgru_layer_recurrence(a, xf @ wxg_, xf @ wxc_, wg_, wc_,
+                                        bg_, bc_, h0_, "tanh")
+        return jnp.sum(hs * wl)
+
+    def loss_p(op):
+        x_, wxg_, wxc_, wg_, wc_, bg_, bc_, h0_ = op
+        wxg_f = wxg_.reshape(d, m, -1).transpose(1, 0, 2).reshape(m * d, -1)
+        wxc_f = wxc_.reshape(d, m, -1).transpose(1, 0, 2).reshape(m * d, -1)
+        hl, hs = dcgru_layer_recurrence_pallas_xin(
+            a, x_, wxg_f, wxc_f, wg_, wc_, bg_, bc_, h0_, "tanh", tile,
+            True, rdt)
+        return jnp.sum(hs * wl)
+
+    op = (x, wxg, wxc, wg, wc, bg, bc, h0)
+    np.testing.assert_allclose(float(loss_p(op)), float(loss_s(op)),
+                               rtol=2e-2 if bf16 else 1e-4)
+    gs = jax.grad(loss_s)(op)
+    gp = jax.grad(loss_p)(op)
+    for name, a_, b_ in zip(("x", "wxg", "wxc", "wg", "wc", "bg", "bc",
+                             "h0"), gs, gp):
+        a_, b_ = np.asarray(a_, np.float32), np.asarray(b_, np.float32)
+        if bf16:
+            # bf16 streams/residuals accumulate quantization noise over
+            # the recurrence: bound the NORMALIZED inf-norm error (same
+            # criterion + tolerance as the on-chip parity harness,
+            # benchmarks/tpu_kernel_parity.py BF16_TOL)
+            scale = max(np.abs(a_).max(), 1e-9)
+            assert np.abs(a_ - b_).max() / scale <= 2e-2, name
+        else:
+            np.testing.assert_allclose(b_, a_, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
