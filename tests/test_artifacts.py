@@ -59,9 +59,9 @@ def test_e2e_pipeline_artifact():
     f32 >= 0.50 — the round-4 x-in-kernel fusion grew the step-only
     denominator 87% f32 / 60% bf16 while ABSOLUTE cached throughput also
     improved (f32 7.6k vs 5.8-6.7k, bf16 11.4k vs 9.5k), so the ratio
-    drop is a faster ceiling, not a slower pipeline; the residual is
-    axon-tunnel dispatch plus the cached path's batch-major -> time-major
-    transpose (NOTES.md 'End-to-end input pipeline', round-4 note)."""
+    drop is a faster ceiling, not a slower pipeline; traced device-side
+    cache overhead is 2% — the residual is axon-tunnel per-dispatch host
+    overhead (NOTES.md 'End-to-end input pipeline', round-4 note)."""
     art = _load("e2e_pipeline_results.json")
     assert art["h2d_sync_GBps"] > 0
     for dtype, floor in (("bfloat16", 0.60), ("float32", 0.50)):
