@@ -50,8 +50,9 @@ class RotatingDeviceCache:
         seq_len: constant ``seq_lengths`` value.
         storage_dtype: host + device storage dtype ('bfloat16' halves both
             the footprint and the per-rotation upload).
-        budget_bytes: device HBM budget for cache slabs. The shard size is
-            chosen so TWO shards (live + prefetch) fit inside it.
+        budget_bytes: device HBM budget for cache slabs. The shard size
+            is chosen so THREE shards fit inside it (live + prefetch +
+            the transiently-still-referenced previous slab).
         seq_lengths: optional (num_clips,) int32 true lengths
             (classification).
         min_shards: lower bound on the shard count (benchmarks force >1 to
@@ -102,7 +103,12 @@ class RotatingDeviceCache:
         clip_bytes = int(np.prod(feats.shape[1:])) * feats.dtype.itemsize
         if labels.ndim > 1:
             clip_bytes += int(np.prod(labels.shape[1:])) * self._y.dtype.itemsize
-        max_rows = max(1, budget_bytes // (2 * clip_bytes))
+        # size shards for THREE resident slabs, not two: during rotation
+        # the just-finished slab may still be referenced by in-flight
+        # computation while the live slab trains and the next one
+        # prefetches — a transient third allocation that would overflow a
+        # budget sized for the steady-state pair
+        max_rows = max(1, budget_bytes // (3 * clip_bytes))
         self.num_shards = max(min_shards, -(-self.num_clips // max_rows))
         self.shard_rows = -(-self.num_clips // self.num_shards)
         self.clip_bytes = clip_bytes
@@ -180,8 +186,9 @@ class RotatingDeviceCache:
         return self.names[lo:hi]
 
     def nbytes_resident(self) -> int:
-        """Worst-case device bytes: two slabs."""
-        return 2 * self.shard_rows * self.clip_bytes
+        """Worst-case device bytes: three slabs (live + prefetch + the
+        transiently-referenced previous one)."""
+        return 3 * self.shard_rows * self.clip_bytes
 
 
 def build_rotating_cache(dataset, seq_len: int, kind: str,
