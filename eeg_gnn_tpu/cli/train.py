@@ -183,7 +183,7 @@ def main(argv=None):
             def build(ds):
                 return build_detection_cache(
                     ds, cfg.max_seq_len, storage_dtype=storage,
-                    num_workers=cfg.num_workers)
+                    num_workers=cfg.num_workers, mesh=mesh)
         elif cfg.task == "SS pre-training":
             t_out = cfg.output_seq_len
             _, plain, _ = load_dataset_ssl(
@@ -193,7 +193,7 @@ def main(argv=None):
             def build(ds):
                 return build_ssl_cache(
                     ds, cfg.max_seq_len, storage_dtype=storage,
-                    num_workers=cfg.num_workers)
+                    num_workers=cfg.num_workers, mesh=mesh)
         else:
             _, plain, _ = load_dataset_classification(
                 max_seq_len=cfg.max_seq_len, padding_val=0.0,
@@ -202,7 +202,7 @@ def main(argv=None):
             def build(ds):
                 return build_classification_cache(
                     ds, cfg.max_seq_len, storage_dtype=storage,
-                    num_workers=cfg.num_workers)
+                    num_workers=cfg.num_workers, mesh=mesh)
 
         cache_splits = ["train"] if mesh is not None else list(plain)
         n_total = sum(len(plain[s]) for s in cache_splits)

@@ -85,7 +85,7 @@ class ExperimentConfig:
     recurrence: str = "pallas"  # DCGRU scan backend: pallas | stacked | naive
     input_fusion: bool = True  # run the input diffusion + projection
     # INSIDE the Pallas recurrence kernels (no external x_proj GEMM):
-    # measured 11.4k -> 18.0k clips/s bf16 B=128 (f32 7.8k -> 14.0k) on
+    # measured 11.4k -> 18.5k clips/s bf16 B=128 (f32 7.8k -> 14.0k) on
     # v5e; numerics parity-gated on chip (benchmarks/tpu_kernel_parity).
     # --recurrence stacked or non-TPU backends ignore it.
     batch_tile: int = 36  # clips per grid step in the Pallas whole-sequence

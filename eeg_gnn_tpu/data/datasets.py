@@ -74,12 +74,23 @@ class _BaseEEGDataset:
         self.use_fft = use_fft
         self.preproc_dir = preproc_dir
         self.edf_files = _find_edf_files(raw_data_dir) if raw_data_dir else []
+        # O(1) lookup index (marker entries carry the exact file name);
+        # the reference substring-scans the whole list per sample
+        # (dataloader_detection.py:364-369) — O(files) per __getitem__
+        self._edf_index = {}
+        for f in self.edf_files:
+            self._edf_index.setdefault(os.path.basename(f), []).append(f)
         self.sensor_ids = [x.split(" ")[-1] for x in INCLUDED_CHANNELS]
         # Unlike the reference (which relies on np.random global state in
         # worker processes), augmentation randomness is an explicit stream.
         self.rng = np.random.RandomState(rng_seed)
 
     def _lookup_edf(self, edf_name: str) -> str:
+        hits = self._edf_index.get(os.path.basename(edf_name), ())
+        if len(hits) == 1:
+            return hits[0]
+        # fall back to the reference's substring semantics (and its
+        # uniqueness assert) for marker entries that aren't exact names
         matches = [f for f in self.edf_files if edf_name in f]
         assert len(matches) == 1, f"edf lookup for {edf_name}: {len(matches)} matches"
         return matches[0]

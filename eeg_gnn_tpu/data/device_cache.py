@@ -67,19 +67,53 @@ class DeviceDatasetCache:
 
     def __init__(self, feats: np.ndarray, labels: np.ndarray, seq_len: int,
                  storage_dtype: str = "float32", names=None,
-                 seq_lengths: Optional[np.ndarray] = None):
+                 seq_lengths: Optional[np.ndarray] = None, mesh=None):
+        import jax
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if storage_dtype == "bfloat16" else jnp.float32
-        # one bulk H2D each; everything after this is device-side
-        self.x = jnp.asarray(np.asarray(feats), dtype=dt)
+        feats = np.asarray(feats)
         labels = np.asarray(labels, np.float32)
-        # SSL target features share the label slot (and the storage dtype)
-        self.y = jnp.asarray(labels, dtype=dt if labels.ndim > 1
-                             else jnp.float32)
-        self.seq = (None if seq_lengths is None
-                    else jnp.asarray(np.asarray(seq_lengths, np.int32)))
-        self.num_clips = int(self.x.shape[0])
+        self.num_clips = int(feats.shape[0])
+        self.mesh = mesh
+        if mesh is not None:
+            # Build SHARDED from host numpy: casting + row padding happen on
+            # host and each device receives only its 1/p row shard via one
+            # sharded device_put — the whole split never materializes on any
+            # single device (the unsharded jnp.asarray below would OOM
+            # device 0 for any split that only fits when sharded; ADVICE r4
+            # high).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            import ml_dtypes
+
+            np_dt = (np.dtype(ml_dtypes.bfloat16)
+                     if storage_dtype == "bfloat16" else np.float32)
+            p = mesh.shape["data"]
+            n_pad = -(-self.num_clips // p) * p
+
+            def put(a):
+                if a is None:
+                    return None
+                if n_pad != a.shape[0]:
+                    reps = np.repeat(a[:1], n_pad - a.shape[0], axis=0)
+                    a = np.concatenate([a, reps], axis=0)
+                spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            self.x = put(feats.astype(np_dt))
+            self.y = put(labels.astype(np_dt) if labels.ndim > 1 else labels)
+            self.seq = (None if seq_lengths is None
+                        else put(np.asarray(seq_lengths, np.int32)))
+        else:
+            # one bulk H2D each; everything after this is device-side
+            self.x = jnp.asarray(feats, dtype=dt)
+            # SSL target features share the label slot (and the storage
+            # dtype)
+            self.y = jnp.asarray(labels, dtype=dt if labels.ndim > 1
+                                 else jnp.float32)
+            self.seq = (None if seq_lengths is None
+                        else jnp.asarray(np.asarray(seq_lengths, np.int32)))
         self.seq_len = int(seq_len)
         self.names = (list(names) if names is not None
                       else [str(i) for i in range(self.num_clips)])
@@ -232,7 +266,7 @@ def _materialize(dataset, pick, num_workers: int = 0):
 
 def build_detection_cache(dataset, seq_len: int,
                           storage_dtype: str = "float32",
-                          scaler=None, num_workers: int = 0
+                          scaler=None, num_workers: int = 0, mesh=None
                           ) -> DeviceDatasetCache:
     """Materialize a cache from a Dataset yielding reference-layout tuples.
 
@@ -248,12 +282,13 @@ def build_detection_cache(dataset, seq_len: int,
         num_workers)
     xs, ys, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.asarray(ys), seq_len,
-                              storage_dtype=storage_dtype, names=names)
+                              storage_dtype=storage_dtype, names=names,
+                              mesh=mesh)
 
 
 def build_ssl_cache(dataset, input_len: int,
                     storage_dtype: str = "float32",
-                    num_workers: int = 0) -> DeviceDatasetCache:
+                    num_workers: int = 0, mesh=None) -> DeviceDatasetCache:
     """SSL pair cache: x feats in ``x``, next-window target feats in the
     ``y`` slot. Dataset must be built with ``augmentation=False``,
     ``standardize=False`` (the joint augment + z-score run on device,
@@ -266,12 +301,14 @@ def build_ssl_cache(dataset, input_len: int,
         num_workers)
     xs, ys, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.stack(ys), input_len,
-                              storage_dtype=storage_dtype, names=names)
+                              storage_dtype=storage_dtype, names=names,
+                              mesh=mesh)
 
 
 def build_classification_cache(dataset, seq_len: int,
                                storage_dtype: str = "float32",
-                               num_workers: int = 0) -> DeviceDatasetCache:
+                               num_workers: int = 0, mesh=None
+                               ) -> DeviceDatasetCache:
     """Classification cache: PADDED feats + int labels + true lengths.
 
     The un-augmented clip is padded with zeros here; the device tail
@@ -287,7 +324,8 @@ def build_classification_cache(dataset, seq_len: int,
     return DeviceDatasetCache(np.stack(xs), np.asarray(ys, np.float32),
                               seq_len, storage_dtype=storage_dtype,
                               names=names,
-                              seq_lengths=np.asarray(lens, np.int32))
+                              seq_lengths=np.asarray(lens, np.int32),
+                              mesh=mesh)
 
 
 def shard_cache(cache: DeviceDatasetCache, mesh) -> DeviceDatasetCache:
@@ -297,11 +335,16 @@ def shard_cache(cache: DeviceDatasetCache, mesh) -> DeviceDatasetCache:
     :meth:`mesh_epoch_plan`'s masks) to a multiple of the axis size, then
     each array is ``device_put`` with a ``P('data', ...)`` sharding — one
     bulk transfer per device, per-device HBM = 1/p of the split.
+
+    Caches built with ``mesh=`` are already sharded at upload (no single
+    device ever held the full split) and pass through unchanged.
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if getattr(cache, "mesh", None) is not None:
+        return cache
     p = mesh.shape["data"]
     n = cache.num_clips
     n_pad = -(-n // p) * p

@@ -67,6 +67,7 @@ gradients get exactly zero contribution from padding.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from eeg_gnn_tpu.ops.recurrent import _act_pair
+
+
+def _device_vmem_bytes() -> int:
+    """Per-core VMEM capacity the tile budgets are computed against.
+
+    Every shipped TPU generation provides at least 16 MiB of VMEM per
+    core, so that is the default; ``EEG_GNN_TPU_VMEM_BYTES`` overrides it
+    for generations with more (so larger tiles become reachable) or for
+    testing the tile-selection logic under perturbed budgets. The runtime
+    does not expose VMEM capacity directly, hence the env knob rather
+    than a query."""
+    env = os.environ.get("EEG_GNN_TPU_VMEM_BYTES")
+    if env:
+        return int(float(env))
+    return 16 * 2 ** 20
+
+
+def vmem_budget_bytes(fraction: float) -> int:
+    """Kernel working-set budget as a FRACTION of device VMEM (the
+    remainder is headroom for Mosaic's own buffers + estimate error; the
+    fractions below reproduce the on-chip-calibrated pass/fail boundary
+    on a 16 MiB-VMEM v5e and scale with the device instead of being
+    hard-coded byte counts)."""
+    return int(fraction * _device_vmem_bytes())
+
+
+# fraction of VMEM the x-in-kernel bwd working set may claim: calibrated
+# on v5e (16 MiB VMEM) where the byte estimate's 10.4 MB compiles and
+# 11.3 MB hits a Mosaic oversubscription failure — 0.625 * 16 MiB = 10.5 MB
+# splits the observed boundary
+_XIN_VMEM_FRACTION = 0.625
+# the hoisted path's coarser heuristic undercounts, so it gets a larger
+# slice (0.715 * 16 MiB = 12.0 MB — the round-1-calibrated value)
+_HOISTED_VMEM_FRACTION = 0.715
 
 # MXU passes for the in-kernel f32 matmuls. Mosaic supports DEFAULT (one
 # bf16 pass — the same effective precision as the XLA paths' default
@@ -162,14 +197,16 @@ def _prep(a_ops, x_proj, h0, batch_tile):
     # operator blocks + four input/two output streams + five scratches.
     # Per row (of TB*Np): 8*M*J*Np (a_c, 2 buffers; shared stacks are O(1)
     # and skip this term) + 64*H (streams) + 4*(3M+2)*H (scratches).
-    # Shrink the tile until the estimate fits in ~12 MB (16 MB VMEM minus
-    # headroom) — tile 64 with M=3, H=64 overflowed in round 1, the
-    # measured cause of the batch_tile 32/64 compile failures.
+    # Shrink the tile until the estimate fits the hoisted-path VMEM
+    # budget (a calibrated fraction of device VMEM; 12 MB on a 16 MiB
+    # v5e) — tile 64 with M=3, H=64 overflowed in round 1, the measured
+    # cause of the batch_tile 32/64 compile failures.
     h_units_est = x_proj.shape[-1] // 3
     j_est = max(1, 128 // np_)
     per_row = ((0 if shared else 8 * m * j_est * np_)
                + 64 * h_units_est + 4 * (3 * m + 2) * h_units_est)
-    tb_cap = max(1, int(12e6 / per_row) // np_)
+    tb_cap = max(1, int(vmem_budget_bytes(_HOISTED_VMEM_FRACTION)
+                        / per_row) // np_)
     tb = min(tb, tb_cap)
     if tb > j_est:  # keep the tile a group multiple for full-width dots
         tb = (tb // j_est) * j_est
@@ -601,30 +638,45 @@ def dcgru_layer_recurrence_pallas(a_ops, gate_x, cand_x, wg_r, wc_r, gate_b,
 # ---------------------------------------------------------------------------
 
 
-def _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes):
+def _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes,
+              budget_bytes=None):
     """Largest legal tile (multiple of the group size) whose BWD working
     set fits the VMEM budget — computed from direct byte counts (the
-    hoisted-path heuristic undercounts the widened scratches here)."""
+    hoisted-path heuristic undercounts the widened scratches here).
+
+    ``budget_bytes`` defaults to a calibrated fraction of the device's
+    VMEM (:func:`vmem_budget_bytes`); tests perturb it to sweep the tile
+    selection. The terminal candidate is checked too: a shape whose
+    MINIMAL tile exceeds the budget raises a clear error instead of
+    reaching the Mosaic compiler (ADVICE r4)."""
+    if budget_bytes is None:
+        budget_bytes = vmem_budget_bytes(_XIN_VMEM_FRACTION)
     j = max(1, 128 // np_)
 
     def fits(tb):
-        rows, gr = tb * np_, j * np_
-        a = 0 if shared else 2 * (tb // j) * m * gr * gr * 4
+        jj = _group_size(tb, np_)  # actual grouping for THIS candidate
+        rows, gr = tb * np_, jj * np_
+        a = 0 if shared else 2 * (tb // jj) * m * gr * gr * 4
         streams = 2 * rows * (5 * h + 2 * d) * io_bytes  # in+out, dbl-buf
         scr = 4 * (rows * (h + 2 * m * h + m * d + h + d)
-                   + (tb // j) * m * gr * (h + d))
+                   + (tb // jj) * m * gr * (h + d))
         weights = 4 * (3 * m * h * h + 2 * m * h * h + 3 * m * d * h)
-        # budget calibrated on-chip (v5e, 16 MB VMEM): at the flagship
-        # shape the estimate's 10.4 MB (bf16 tile 44) compiles and
-        # 11.3 MB (tile 48) gets a Mosaic oversubscription failure —
-        # 10.5 MB splits the observed pass/fail boundary
-        return a + streams + scr + weights <= 10.5e6
+        return a + streams + scr + weights <= budget_bytes
 
     tb = max(1, min(batch_tile, b))
     if tb > j:
         tb = (tb // j) * j
     while tb > j and not fits(tb):
         tb -= j
+    while tb > 1 and not fits(tb):
+        tb -= 1
+    if not fits(tb):
+        raise ValueError(
+            "DCGRU x-in-kernel recurrence: even the minimal batch tile "
+            f"exceeds the VMEM budget (Np={np_}, H={h}, D={d}, M={m}, "
+            f"budget={budget_bytes} bytes). Use the hoisted path "
+            "(input_fusion=False) or raise EEG_GNN_TPU_VMEM_BYTES if the "
+            "device has more VMEM than the 16 MiB baseline.")
     return tb
 
 

@@ -391,6 +391,11 @@ class Trainer:
                         l_parts.append(ls)
                     valid_vec = np.concatenate(v_parts)
                     losses = np.concatenate(l_parts)
+                    # release the last train slabs BEFORE eval prefetches
+                    # its own (dev/test rotating caches size their shards
+                    # for three resident slabs each — keeping two train
+                    # slabs alive alongside them can exceed HBM; ADVICE r4)
+                    slab = slab_next = None
                 else:
                     cache_d = {"x": train_cache.x, "y": train_cache.y,
                                "seq": train_cache.seq}
@@ -481,6 +486,9 @@ class Trainer:
                            None if labels is None
                            else labels[idx[:valid]],
                            [names[i] for i in idx[:valid]])
+            # drop slab refs eagerly: the generator may be kept alive by
+            # the caller after exhaustion (ADVICE r4 co-residency)
+            slab = slab_next = None
             return
         if cache is not None:
             rng = np.random.RandomState(0)  # unused: shuffle=False

@@ -602,3 +602,49 @@ def test_cli_hbm_cache_trains(corpus, tmp_path):
         "--metric_name", "auroc",
     ])
     assert np.isfinite(res["loss"]) and "auroc" in res
+
+
+def test_mesh_build_uploads_sharded():
+    """ADVICE r4 (high): a cache built with ``mesh=`` uploads row-sharded
+    directly from host numpy — per-device shards hold 1/p of the (padded)
+    split, array contents match the post-hoc shard_cache path, and
+    shard_cache passes an already-sharded cache through unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.data.device_cache import shard_cache
+    from eeg_gnn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("data:8")
+    n, t = 19, 3  # 19 rows -> padded to 24, 3 per device
+    rng0 = np.random.RandomState(0)
+    feats = rng0.randn(n, t, 19, 8).astype(np.float32)
+    labels = (rng0.rand(n) > 0.5).astype(np.float32)
+    lens = np.full((n,), t, np.int32)
+
+    built = DeviceDatasetCache(feats, labels, seq_len=t,
+                               seq_lengths=lens, mesh=mesh)
+    oracle = shard_cache(
+        DeviceDatasetCache(feats, labels, seq_len=t, seq_lengths=lens),
+        mesh)
+
+    assert built.num_clips == n
+    assert built.x.shape[0] == 24
+    # every device holds exactly one 1/p row block
+    for arr in (built.x, built.y, built.seq):
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {arr.shape[0] // 8}
+    np.testing.assert_array_equal(np.asarray(built.x), np.asarray(oracle.x))
+    np.testing.assert_array_equal(np.asarray(built.y), np.asarray(oracle.y))
+    np.testing.assert_array_equal(np.asarray(built.seq),
+                                  np.asarray(oracle.seq))
+    # idempotent: shard_cache must not re-pad/re-place a mesh-built cache
+    assert shard_cache(built, mesh) is built
+
+    # bf16 storage casts on HOST (ml_dtypes) before the sharded device_put
+    b16 = DeviceDatasetCache(feats, labels, seq_len=t,
+                             storage_dtype="bfloat16", mesh=mesh)
+    assert b16.x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(b16.x, np.float32)[:n],
+        feats.astype(jnp.bfloat16).astype(np.float32), rtol=0, atol=0)
