@@ -239,6 +239,76 @@ def run_case_xin(name, *, t=60, b=37, n=19, h=64, d=100, num_supports=1,
     }
 
 
+def run_case_dec(name, *, t=12, b=40, n=19, h=64, d=100, num_layers=2,
+                 num_supports=1, k=2, shared=True, bf16=False, tile=16,
+                 forcing=True, seed=0):
+    """Whole-sequence Pallas DECODER kernels (ops/pallas_decoder.py) vs
+    the XLA scan path of models/dcgru.decoder_apply on the same chip.
+
+    Both paths run through the SAME decoder_apply entry with identical
+    rng, so the scheduled-sampling force draws are shared; only the
+    cfg's ``recurrence`` field flips the backend. Compares the forward
+    stream and every gradient (params incl. the tied shared cell + the
+    projection, dec_inputs, h0_stack). Reference math: DCGRUDecoder
+    (model/model.py:149-204)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from eeg_gnn_tpu.models.dcgru import decoder_apply, decoder_init
+
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    params, cfgs = decoder_init(key, d, h, k, n, num_supports, num_layers,
+                                d, "tanh")
+    sup_shape = (num_supports, n, n) if shared else (num_supports, b, n, n)
+    sup = jnp.asarray(np.abs(rng.randn(*sup_shape)) / n, jnp.float32)
+    dec = jnp.asarray(rng.randn(t, b, n, d) * 0.5, jnp.float32)
+    h0 = jnp.asarray(rng.randn(num_layers, b, n, h) * 0.1, jnp.float32)
+    wl = jnp.asarray(rng.randn(t, b, n, d), jnp.float32)
+    dtype = "bfloat16" if bf16 else "float32"
+    mk = lambda rec: tuple(
+        dataclasses.replace(c, recurrence=rec, batch_tile=tile,
+                            compute_dtype=dtype) for c in cfgs)
+    tf_ratio = 0.6 if forcing else None
+    rng_key = jax.random.PRNGKey(7)
+
+    def loss(cfgs_, op):
+        params_, dec_, h0_ = op
+        out = decoder_apply(cfgs_, params_, sup, dec_, h0_, num_layers,
+                            teacher_forcing_ratio=tf_ratio, rng=rng_key,
+                            training=True)
+        return jnp.sum(out * wl), out
+
+    op = (params, dec, h0)
+    out_s = np.asarray(jax.jit(lambda o: loss(mk("stacked"), o)[1])(op))
+    out_p = np.asarray(jax.jit(lambda o: loss(mk("pallas"), o)[1])(op))
+    gs = jax.jit(jax.grad(lambda o: loss(mk("stacked"), o)[0]))(op)
+    gp = jax.jit(jax.grad(lambda o: loss(mk("pallas"), o)[0]))(op)
+
+    errs = {"proj_seq": dict(zip(("max_abs", "rel"), _err(out_p, out_s)))}
+    for (path, sv), (_, pv) in zip(
+            jax.tree_util.tree_leaves_with_path(gs),
+            jax.tree_util.tree_leaves_with_path(gp)):
+        label = "".join(str(pk) for pk in path)
+        errs[f"grad_{label}"] = dict(zip(("max_abs", "rel"), _err(pv, sv)))
+
+    m = num_supports * k + 1
+    tol = BF16_TOL if bf16 else XIN_F32_TOL
+    worst = max(v["rel"] for v in errs.values())
+    return {
+        "name": name,
+        "config": {"t": t, "b": b, "n": n, "h": h, "m": m, "d": d,
+                   "layers": num_layers, "shared": shared, "bf16": bf16,
+                   "tile": tile, "forcing": forcing, "decoder": True},
+        "errors": errs,
+        "worst_rel": worst,
+        "tol": tol,
+        "pass": bool(worst <= tol),
+    }
+
+
 CASES = [
     # name, kwargs
     ("f32_shared_M3_flagship", dict(shared=True, b=40)),
@@ -255,12 +325,20 @@ XIN_CASES = [
     ("xin_f32_perclip_M5_dualrw", dict(shared=False, b=24, num_supports=2)),
 ]
 
+DEC_CASES = [
+    ("dec_f32_shared_M3_ssl_flagship", dict(shared=True, b=40)),
+    ("dec_bf16_shared_M3_ssl_flagship", dict(shared=True, b=40, bf16=True)),
+    ("dec_f32_perclip_M5_dualrw",
+     dict(shared=False, b=21, num_supports=2, forcing=False)),
+]
+
 
 def run_all(write=True):
     import jax
 
     results = ([run_case(name, **kw) for name, kw in CASES]
-               + [run_case_xin(name, **kw) for name, kw in XIN_CASES])
+               + [run_case_xin(name, **kw) for name, kw in XIN_CASES]
+               + [run_case_dec(name, **kw) for name, kw in DEC_CASES])
     report = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -100,11 +100,13 @@ def main(argv=None):
         cfg.task in ("detection", "SS pre-training")
         or (cfg.task == "classification" and cfg.graph_type == "combined")
     )
+    # multi-host included (round 5): each process featurizes + uploads
+    # only its row shard of the train split (data/device_cache.py:
+    # _process_rows / make_array_from_process_local_data)
     use_hbm_cache = (
         cfg.hbm_cache
         and cfg.model_name == "dcrnn"
         and cache_task_ok
-        and jax.process_count() == 1
     )
     input_pipeline = None
     device_caches = None
@@ -211,11 +213,12 @@ def main(argv=None):
                        cfg.input_dim, storage, t_out=t_out,
                        num_devices=n_dev_cache):
             device_caches = {s: build(plain[s]) for s in cache_splits}
-        elif mesh is None:
+        elif jax.process_count() == 1:
             # beyond-HBM: chunked rotating cache — fixed-shape shards
             # double-buffered through HBM, upload overlapped with steps
             # (data/rotating_cache.py; replaces the round-3 silent
-            # streaming cliff)
+            # streaming cliff). With a mesh the slabs are row-sharded
+            # over the data axis (per-device budget unchanged).
             from eeg_gnn_tpu.data.rotating_cache import build_rotating_cache
 
             kind = {"detection": "detection", "SS pre-training": "ssl",
@@ -223,16 +226,18 @@ def main(argv=None):
             device_caches = {
                 s: build_rotating_cache(
                     plain[s], cfg.max_seq_len, kind, storage_dtype=storage,
-                    num_workers=cfg.num_workers)
+                    num_workers=cfg.num_workers, mesh=mesh)
                 for s in cache_splits
             }
             print("hbm_cache: split exceeds the HBM budget; using the "
                   "chunked rotating cache "
                   f"({device_caches['train'].num_shards} shards, "
-                  "double-buffered H2D)", file=sys.stderr)
+                  "double-buffered H2D"
+                  + (", row-sharded slabs" if mesh is not None else "")
+                  + ")", file=sys.stderr)
         else:
-            print("hbm_cache: splits exceed the per-device HBM budget on "
-                  "this mesh; falling back to the streaming loader",
+            print("hbm_cache: beyond-HBM splits are not cached on "
+                  "multi-host runs; falling back to the streaming loader",
                   file=sys.stderr)
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
                              mesh=mesh, input_pipeline=input_pipeline,

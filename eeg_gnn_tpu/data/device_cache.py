@@ -67,14 +67,21 @@ class DeviceDatasetCache:
 
     def __init__(self, feats: np.ndarray, labels: np.ndarray, seq_len: int,
                  storage_dtype: str = "float32", names=None,
-                 seq_lengths: Optional[np.ndarray] = None, mesh=None):
+                 seq_lengths: Optional[np.ndarray] = None, mesh=None,
+                 global_num_clips: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if storage_dtype == "bfloat16" else jnp.float32
         feats = np.asarray(feats)
         labels = np.asarray(labels, np.float32)
-        self.num_clips = int(feats.shape[0])
+        # multi-host: ``feats`` holds only THIS process's padded row shard
+        # (builders featurize per process via _process_rows) and
+        # ``global_num_clips`` carries the real split size for the epoch
+        # plans (identical on every process)
+        rows_are_local = global_num_clips is not None
+        self.num_clips = (int(global_num_clips) if rows_are_local
+                          else int(feats.shape[0]))
         self.mesh = mesh
         if mesh is not None:
             # Build SHARDED from host numpy: casting + row padding happen on
@@ -82,7 +89,8 @@ class DeviceDatasetCache:
             # sharded device_put — the whole split never materializes on any
             # single device (the unsharded jnp.asarray below would OOM
             # device 0 for any split that only fits when sharded; ADVICE r4
-            # high).
+            # high). Multi-host: each process contributes its local rows via
+            # make_array_from_process_local_data — no cross-host traffic.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             import ml_dtypes
@@ -95,11 +103,14 @@ class DeviceDatasetCache:
             def put(a):
                 if a is None:
                     return None
+                spec = NamedSharding(
+                    mesh, P(*(("data",) + (None,) * (a.ndim - 1))))
+                if rows_are_local:
+                    return jax.make_array_from_process_local_data(spec, a)
                 if n_pad != a.shape[0]:
                     reps = np.repeat(a[:1], n_pad - a.shape[0], axis=0)
                     a = np.concatenate([a, reps], axis=0)
-                spec = P(*(("data",) + (None,) * (a.ndim - 1)))
-                return jax.device_put(a, NamedSharding(mesh, spec))
+                return jax.device_put(a, spec)
 
             self.x = put(feats.astype(np_dt))
             self.y = put(labels.astype(np_dt) if labels.ndim > 1 else labels)
@@ -180,31 +191,9 @@ class DeviceDatasetCache:
         device runs the same K steps and the loss masks by the boolean
         row mask (train/losses.py:_row_mask).
         """
-        p = num_devices
-        if batch_size % p:
-            raise ValueError(f"batch size {batch_size} must divide over "
-                             f"{p} devices")
-        b_local = batch_size // p
-        block = -(-self.num_clips // p)  # padded rows per device
-        # real rows per device (the pad tail lives on the last device)
-        real = [min(block, max(0, self.num_clips - d * block))
-                for d in range(p)]
-        k_steps = max(-(-r // b_local) for r in real)
-        idx = np.zeros((k_steps, p, b_local), np.int32)
-        mask = np.zeros((k_steps, p, b_local), bool)
-        for d in range(p):
-            order = np.arange(real[d], dtype=np.int32)
-            if shuffle:
-                rng.shuffle(order)
-            flat = np.full((k_steps * b_local,),
-                           order[0] if real[d] else 0, np.int32)
-            flat[: real[d]] = order
-            idx[:, d, :] = flat.reshape(k_steps, b_local)
-            m = np.zeros((k_steps * b_local,), bool)
-            m[: real[d]] = True
-            mask[:, d, :] = m.reshape(k_steps, b_local)
-        return idx.reshape(k_steps, p * b_local), mask.reshape(
-            k_steps, p * b_local)
+        block = -(-self.num_clips // num_devices)  # padded rows per device
+        return mesh_plan(self.num_clips, block, num_devices, batch_size,
+                         shuffle, rng)
 
     def device_batch(self, idx: np.ndarray, valid: int):
         """Assemble the train-step batch dict: the cache rides along as a
@@ -235,6 +224,39 @@ class DeviceDatasetCache:
         }
 
 
+def mesh_plan(num_real: int, block: int, p: int, batch_size: int,
+              shuffle: bool, rng: np.random.RandomState):
+    """Per-device (idx_mat, mask_mat) plan core shared by resident
+    (:meth:`DeviceDatasetCache.mesh_epoch_plan`) and rotating
+    (:meth:`~eeg_gnn_tpu.data.rotating_cache.RotatingDeviceCache.
+    mesh_shard_plan`) row-sharded caches: the real rows [0, num_real) lay
+    out contiguously over p device blocks of ``block`` rows; device d
+    draws only LOCAL indices within its block, padded slots repeat a real
+    local row with mask False."""
+    if batch_size % p:
+        raise ValueError(f"batch size {batch_size} must divide over "
+                         f"{p} devices")
+    b_local = batch_size // p
+    # real rows per device (the pad tail lives on the last device(s))
+    real = [min(block, max(0, num_real - d * block)) for d in range(p)]
+    k_steps = max(1, max(-(-r // b_local) for r in real))
+    idx = np.zeros((k_steps, p, b_local), np.int32)
+    mask = np.zeros((k_steps, p, b_local), bool)
+    for d in range(p):
+        order = np.arange(real[d], dtype=np.int32)
+        if shuffle:
+            rng.shuffle(order)
+        flat = np.full((k_steps * b_local,),
+                       order[0] if real[d] else 0, np.int32)
+        flat[: real[d]] = order
+        idx[:, d, :] = flat.reshape(k_steps, b_local)
+        m = np.zeros((k_steps * b_local,), bool)
+        m[: real[d]] = True
+        mask[:, d, :] = m.reshape(k_steps, b_local)
+    return idx.reshape(k_steps, p * b_local), mask.reshape(
+        k_steps, p * b_local)
+
+
 def fits_in_hbm(num_clips: int, t: int, n: int, d: int,
                 storage_dtype: str = "bfloat16",
                 budget_bytes: int = 12 * 2 ** 30, t_out: int = 0,
@@ -248,20 +270,44 @@ def fits_in_hbm(num_clips: int, t: int, n: int, d: int,
     return need <= budget_bytes * num_devices
 
 
-def _materialize(dataset, pick, num_workers: int = 0):
-    """Featurize every clip of ``dataset`` via ``pick(item) -> tuple``,
+def _materialize(dataset, pick, num_workers: int = 0, rows=None):
+    """Featurize clips of ``dataset`` via ``pick(item) -> tuple``,
     optionally with a thread pool (h5py/numpy release the GIL for the
     bulk of the work; a serial dataset[i] loop at flagship scale costs
-    avoidable minutes of startup — ADVICE r3)."""
-    n = len(dataset)
-    if num_workers and num_workers > 1 and n > 1:
+    avoidable minutes of startup — ADVICE r3). ``rows`` restricts the
+    featurization to an explicit index list (multi-host row shards)."""
+    idx = range(len(dataset)) if rows is None else rows
+    if num_workers and num_workers > 1 and len(idx) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            rows = list(pool.map(lambda i: pick(dataset[i]), range(n)))
+            out = list(pool.map(lambda i: pick(dataset[i]), idx))
     else:
-        rows = [pick(dataset[i]) for i in range(n)]
-    return rows
+        out = [pick(dataset[i]) for i in idx]
+    return out
+
+
+def _process_rows(n_clips: int, mesh):
+    """Dataset rows THIS process featurizes for a row-sharded cache.
+
+    Returns (rows, global_num_clips): ``rows`` is None single-process
+    (featurize everything); multi-host it is this process's contiguous
+    block of the PADDED global row space (pad rows repeat global row 0 —
+    the same layout single-process padding produces, so
+    ``mesh_epoch_plan``'s per-device blocks line up), mapped back to real
+    dataset indices. SURVEY §7 "input pipeline at pod scale": featurize
+    cost and host RAM scale 1/processes.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return None, None
+    p = mesh.shape["data"]
+    n_pad = -(-n_clips // p) * p
+    per = n_pad // jax.process_count()
+    lo = jax.process_index() * per
+    rows = [(i if i < n_clips else 0) for i in range(lo, lo + per)]
+    return rows, n_clips
 
 
 def build_detection_cache(dataset, seq_len: int,
@@ -275,15 +321,17 @@ def build_detection_cache(dataset, seq_len: int,
     asserting that here would require peeking internals, so callers own it
     (cli/train.py does).
     """
+    sel, n_global = (None, None) if mesh is None else _process_rows(
+        len(dataset), mesh)
     rows = _materialize(
         dataset,
         lambda item: (np.asarray(item[0], np.float32),
                       np.float32(item[1]), item[5]),
-        num_workers)
+        num_workers, rows=sel)
     xs, ys, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.asarray(ys), seq_len,
                               storage_dtype=storage_dtype, names=names,
-                              mesh=mesh)
+                              mesh=mesh, global_num_clips=n_global)
 
 
 def build_ssl_cache(dataset, input_len: int,
@@ -294,15 +342,17 @@ def build_ssl_cache(dataset, input_len: int,
     ``standardize=False`` (the joint augment + z-score run on device,
     ``DevicePipeline.ssl_features``). Ref hot loop being replaced:
     dataloader_ssl.py:282-361."""
+    sel, n_global = (None, None) if mesh is None else _process_rows(
+        len(dataset), mesh)
     rows = _materialize(
         dataset,
         lambda item: (np.asarray(item[0], np.float32),
                       np.asarray(item[1], np.float32), item[5]),
-        num_workers)
+        num_workers, rows=sel)
     xs, ys, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.stack(ys), input_len,
                               storage_dtype=storage_dtype, names=names,
-                              mesh=mesh)
+                              mesh=mesh, global_num_clips=n_global)
 
 
 def build_classification_cache(dataset, seq_len: int,
@@ -315,17 +365,19 @@ def build_classification_cache(dataset, seq_len: int,
     re-pins the padding after augment+standardize
     (``DevicePipeline.classification_features``), reproducing the host
     order pad(standardize(augment(clip))). Combined graph only."""
+    sel, n_global = (None, None) if mesh is None else _process_rows(
+        len(dataset), mesh)
     rows = _materialize(
         dataset,
         lambda item: (np.asarray(item[0], np.float32),
                       np.int32(item[1]), np.int32(item[2]), item[5]),
-        num_workers)
+        num_workers, rows=sel)
     xs, ys, lens, names = zip(*rows)
     return DeviceDatasetCache(np.stack(xs), np.asarray(ys, np.float32),
                               seq_len, storage_dtype=storage_dtype,
                               names=names,
                               seq_lengths=np.asarray(lens, np.int32),
-                              mesh=mesh)
+                              mesh=mesh, global_num_clips=n_global)
 
 
 def shard_cache(cache: DeviceDatasetCache, mesh) -> DeviceDatasetCache:

@@ -27,9 +27,15 @@ shuffle (dataloader_detection.py:356-416) — the standard large-dataset
 loader semantics (every clip visited exactly once per epoch; shard order
 and in-shard order both reshuffle each epoch).
 
-Single-process, single-device (the mesh path row-shards a resident cache
-instead — data/device_cache.py:shard_cache); supervised + SSL payloads
-like :class:`~eeg_gnn_tpu.data.device_cache.DeviceDatasetCache`.
+With a mesh (round 5; kills ``train/trainer.py``'s former
+NotImplementedError for beyond-HBM splits on multi-device runs), each
+slab is ROW-SHARDED over the data axis at upload: ``budget_bytes``
+stays the PER-DEVICE budget, shards carry p-times more rows, and the
+per-slab step plans come from :meth:`RotatingDeviceCache.mesh_shard_plan`
+(same contract as the resident mesh cache). Single-controller only —
+multi-host beyond-HBM falls back to the streaming loader
+(cli/train.py). Supervised + SSL payloads like
+:class:`~eeg_gnn_tpu.data.device_cache.DeviceDatasetCache`.
 """
 
 from __future__ import annotations
@@ -63,7 +69,7 @@ class RotatingDeviceCache:
                  storage_dtype: str = "float32",
                  budget_bytes: int = 12 * 2 ** 30, names=None,
                  seq_lengths: Optional[np.ndarray] = None,
-                 min_shards: int = 2):
+                 min_shards: int = 2, mesh=None):
         import jax.numpy as jnp
 
         self._np_dtype = (np.dtype("bfloat16")
@@ -107,10 +113,17 @@ class RotatingDeviceCache:
         # the just-finished slab may still be referenced by in-flight
         # computation while the live slab trains and the next one
         # prefetches — a transient third allocation that would overflow a
-        # budget sized for the steady-state pair
-        max_rows = max(1, budget_bytes // (3 * clip_bytes))
+        # budget sized for the steady-state pair.
+        # With a mesh, slabs are ROW-SHARDED over the data axis:
+        # budget_bytes stays per-device, so each shard holds p times more
+        # rows (and shard_rows rounds to a multiple of p so every device
+        # gets an equal block).
+        self.mesh = mesh
+        p = 1 if mesh is None else mesh.shape["data"]
+        max_rows = max(1, budget_bytes // (3 * clip_bytes)) * p
         self.num_shards = max(min_shards, -(-self.num_clips // max_rows))
-        self.shard_rows = -(-self.num_clips // self.num_shards)
+        base_rows = -(-self.num_clips // self.num_shards)
+        self.shard_rows = -(-base_rows // p) * p
         self.clip_bytes = clip_bytes
 
     # -- host-side plan ----------------------------------------------------
@@ -164,7 +177,17 @@ class RotatingDeviceCache:
             if pad:
                 block = np.concatenate(
                     [block, np.repeat(block[:1], pad, axis=0)], axis=0)
-            out = jax.device_put(block)
+            if self.mesh is not None:
+                # row-sharded slab: each device receives 1/p of the shard
+                # in one (still asynchronous) sharded transfer
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = NamedSharding(
+                    self.mesh,
+                    P(*(("data",) + (None,) * (block.ndim - 1))))
+                out = jax.device_put(block, spec)
+            else:
+                out = jax.device_put(block)
             return out.astype(dt) if dt is not None and out.dtype != dt else out
 
         return {
@@ -173,6 +196,19 @@ class RotatingDeviceCache:
                     self._jnp_dtype if self._y.ndim > 1 else jnp.float32),
             "seq": up(self._seq),
         }
+
+    def mesh_shard_plan(self, shard: int, batch_size: int, shuffle: bool,
+                        rng: np.random.RandomState):
+        """Per-device (idx_mat (K, B), mask_mat (K, B)) plan for one
+        ROW-SHARDED slab — local indices within each device's
+        shard_rows/p block, same contract as
+        ``DeviceDatasetCache.mesh_epoch_plan`` (consumed by
+        ``train/step.py:make_mesh_cached_train_step``)."""
+        from eeg_gnn_tpu.data.device_cache import mesh_plan
+
+        p = self.mesh.shape["data"]
+        return mesh_plan(self.shard_real_rows(shard), self.shard_rows // p,
+                         p, batch_size, shuffle, rng)
 
     def shard_labels(self, shard: int):
         lo = shard * self.shard_rows
@@ -195,7 +231,8 @@ def build_rotating_cache(dataset, seq_len: int, kind: str,
                          storage_dtype: str = "float32",
                          budget_bytes: int = 12 * 2 ** 30,
                          num_workers: int = 0,
-                         min_shards: int = 2) -> RotatingDeviceCache:
+                         min_shards: int = 2,
+                         mesh=None) -> RotatingDeviceCache:
     """Materialize a rotating cache from a plain (un-augmented,
     un-standardized) dataset. ``kind``: 'detection' | 'ssl' |
     'classification' (same item layouts as the device_cache builders)."""
@@ -209,7 +246,7 @@ def build_rotating_cache(dataset, seq_len: int, kind: str,
         return RotatingDeviceCache(
             np.stack(xs), np.asarray(ys), seq_len,
             storage_dtype=storage_dtype, budget_bytes=budget_bytes,
-            names=names, min_shards=min_shards)
+            names=names, min_shards=min_shards, mesh=mesh)
     if kind == "ssl":
         rows = _materialize(
             dataset, lambda it: (np.asarray(it[0], np.float32),
@@ -219,7 +256,7 @@ def build_rotating_cache(dataset, seq_len: int, kind: str,
         return RotatingDeviceCache(
             np.stack(xs), np.stack(ys), seq_len,
             storage_dtype=storage_dtype, budget_bytes=budget_bytes,
-            names=names, min_shards=min_shards)
+            names=names, min_shards=min_shards, mesh=mesh)
     if kind == "classification":
         rows = _materialize(
             dataset, lambda it: (np.asarray(it[0], np.float32),
@@ -230,5 +267,5 @@ def build_rotating_cache(dataset, seq_len: int, kind: str,
             np.stack(xs), np.asarray(ys, np.float32), seq_len,
             storage_dtype=storage_dtype, budget_bytes=budget_bytes,
             names=names, seq_lengths=np.asarray(lens, np.int32),
-            min_shards=min_shards)
+            min_shards=min_shards, mesh=mesh)
     raise ValueError(f"unknown rotating-cache kind: {kind!r}")

@@ -483,6 +483,13 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
     per-step Bernoulli draw uses JAX PRNG (statistically equivalent to the
     reference's Python ``random.random()``; exact stream parity is
     impossible and not required — golden tests run with forcing off).
+
+    TPU fast path: on a TPU backend with ``cfg0.recurrence == 'pallas'``
+    (and no active dropout — the one un-fused piece), the WHOLE decoder —
+    all layers' cells, the projection, the feedback select — runs as two
+    whole-sequence Pallas kernels (``ops/pallas_decoder.py``). The
+    per-step force draws are precomputed from the SAME key stream the
+    scan path uses, so both paths produce identical outputs for one rng.
     """
     from eeg_gnn_tpu.ops.recurrent import (
         chebyshev_operators,
@@ -497,6 +504,15 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     step_keys = jax.random.split(rng, t_out)
+    # per-step scalar draws, hoisted out of the loop (identical stream to
+    # the historical in-scan split: k_tf, k_drop = split(step_key))
+    split_keys = jax.vmap(jax.random.split)(step_keys)  # (T, 2, key)
+    tf_keys, drop_keys = split_keys[:, 0], split_keys[:, 1]
+    if use_tf:
+        draws = jax.vmap(lambda k: jax.random.uniform(k, ()))(tf_keys)
+        force = (draws < teacher_forcing_ratio).astype(jnp.float32)
+    else:
+        force = jnp.zeros((t_out,), jnp.float32)
 
     proj_w_t = params["proj_w"].T  # (H, output_dim)
 
@@ -508,6 +524,13 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
     if a_ops.ndim == 3:
         a_ops = a_ops[:, None]
     a_ops = jax.lax.stop_gradient(a_ops)
+
+    recurrence = cfg0.recurrence
+    if recurrence == "pallas" and jax.default_backend() != "tpu":
+        recurrence = "stacked"  # Mosaic kernels are TPU-only
+    if recurrence == "pallas" and not use_dropout:
+        return _decoder_pallas(cfg0, cfg_shared, params, a_ops, dec_inputs,
+                               force, h0_stack, num_layers, proj_w_t)
 
     def cell_weights(i):
         cfg_i = cfg0 if i == 0 else cfg_shared
@@ -527,8 +550,7 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
 
     def step(carry, inp):
         h_stack, cur = carry
-        x_t, key = inp
-        k_tf, k_drop = jax.random.split(key)
+        x_t, f_t, k_drop = inp
         new_h = []
         out = cur
         for i in range(num_layers):
@@ -546,13 +568,53 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
             pre = jnp.where(mask, pre / keep, 0.0)
         projected = jnp.matmul(pre, proj_w_t) + params["proj_b"]  # (B,N,out_dim)
 
-        if use_tf:
-            force = jax.random.uniform(k_tf, ()) < teacher_forcing_ratio
-            nxt = jnp.where(force, x_t, projected)
-        else:
-            nxt = projected
+        nxt = jnp.where(f_t > 0, x_t, projected)
         return (h_stack, nxt), projected
 
     (_, _), outputs = jax.lax.scan(
-        step, (h0_stack.astype(jnp.float32), go), (dec_inputs, step_keys))
+        step, (h0_stack.astype(jnp.float32), go),
+        (dec_inputs, force, drop_keys))
     return outputs
+
+
+def _decoder_pallas(cfg0, cfg_shared, params, a_ops, dec_inputs, force,
+                    h0_stack, num_layers, proj_w_t, interpret=False):
+    """Dispatch to the whole-sequence Pallas decoder kernels: rearrange
+    reference-layout cell weights to the kernels' m-major packing (input
+    rows -> (M*D, O); hidden rows -> (M*H, O)) and pass zeros for the
+    shared cell when num_layers == 1."""
+    from eeg_gnn_tpu.ops.pallas_decoder import dcgru_decoder_pallas
+    from eeg_gnn_tpu.ops.recurrent import rearrange_hidden_weight
+
+    m = cfg0.num_matrices
+    h = cfg0.num_units
+    d = cfg0.input_dim  # decoder layer-0 input width == output_dim
+
+    def split_mmajor(p_cell, d_in):
+        cut = d_in * m
+        wx_g = p_cell["gate_w"][:cut].reshape(d_in, m, -1)
+        wx_c = p_cell["cand_w"][:cut].reshape(d_in, m, -1)
+        wxg = wx_g.transpose(1, 0, 2).reshape(m * d_in, -1)
+        wxc = wx_c.transpose(1, 0, 2).reshape(m * d_in, -1)
+        whg = rearrange_hidden_weight(p_cell["gate_w"][cut:], h, m)
+        whc = rearrange_hidden_weight(p_cell["cand_w"][cut:], h, m)
+        return (wxg, wxc, whg.reshape(m * h, -1), whc.reshape(m * h, -1),
+                p_cell["gate_b"], p_cell["cand_b"])
+
+    wx0g, wx0c, wh0g, wh0c, b0g, b0c = split_mmajor(params["layer0"], d)
+    if num_layers > 1:
+        wxsg, wxsc, whsg, whsc, bsg, bsc = split_mmajor(params["shared"], h)
+    else:
+        wxsg = jnp.zeros((m * h, 2 * h), jnp.float32)
+        wxsc = jnp.zeros((m * h, h), jnp.float32)
+        whsg, whsc = wxsg, wxsc
+        bsg = jnp.zeros((2 * h,), jnp.float32)
+        bsc = jnp.zeros((h,), jnp.float32)
+
+    rdt = ("bfloat16" if cfg0.compute_dtype == "bfloat16" else "float32")
+    out = dcgru_decoder_pallas(
+        a_ops, dec_inputs, force, wx0g, wx0c, wh0g, wh0c, b0g, b0c,
+        wxsg, wxsc, whsg, whsc, bsg, bsc, proj_w_t, params["proj_b"],
+        h0_stack.astype(jnp.float32), num_layers, cfg0.activation,
+        cfg0.batch_tile, interpret, rdt)
+    return out.astype(jnp.float32)

@@ -154,9 +154,15 @@ def init_next_time_pred_model(key, cfg: DCRNNConfig, dtype=jnp.float32) -> Dict[
 
 
 def _decoder_cfgs(cfg: DCRNNConfig):
+    # recurrence/batch_tile/compute_dtype ride along so decoder_apply can
+    # dispatch to the whole-sequence Pallas decoder kernels (and fall
+    # back consistently with the encoder's backend selection)
     mk = lambda d: DCGRUConfig(d, cfg.rnn_units, cfg.max_diffusion_step,
                                cfg.num_nodes, cfg.num_supports,
-                               cfg.dcgru_activation)
+                               cfg.dcgru_activation,
+                               compute_dtype=cfg.compute_dtype,
+                               recurrence=cfg.recurrence,
+                               batch_tile=cfg.batch_tile)
     return (mk(cfg.output_dim), mk(cfg.rnn_units))
 
 

@@ -83,6 +83,26 @@ def form_global_array(local, sharding):
     return jax.make_array_from_process_local_data(sharding, local)
 
 
+def global_put(full, sharding, axis: int):
+    """Place a host array that is IDENTICAL on every process as a global
+    jax.Array sharded along ``axis``: single-process is a plain
+    device_put; multi-host each process contributes only its slice of the
+    axis (the epoch plans are derived from the same seeded rng
+    everywhere, so slicing the same array is a true partition)."""
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(full, sharding)
+    full = np.asarray(full)
+    per = full.shape[axis] // jax.process_count()
+    lo = jax.process_index() * per
+    idx = [slice(None)] * full.ndim
+    idx[axis] = slice(lo, lo + per)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(full[tuple(idx)]))
+
+
 def all_gather_host(x):
     """Gather a per-process host array's rows across processes; returns the
     concatenated numpy array (identical on every process). No-op for a

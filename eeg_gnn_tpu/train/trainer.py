@@ -124,22 +124,22 @@ class Trainer:
                                     RotatingDeviceCache)
         if "train" in self.device_caches:
             seq_len = self.device_caches["train"].seq_len
-            if mesh is not None and self._rotating:
-                raise NotImplementedError(
-                    "rotating cache + mesh: row-shard a resident cache "
-                    "instead (cli/train.py never builds this combination)")
             if mesh is not None:
                 # row-shard the train cache over the data axis (per-device
                 # HBM holds 1/p of the split); eval splits stream through
-                # the regular mesh path
+                # the regular mesh path. Rotating caches arrive with
+                # mesh-aware (already row-sharded) slab uploads and use
+                # the same mesh cached step per slab.
                 from eeg_gnn_tpu.data.device_cache import shard_cache
                 from eeg_gnn_tpu.train.step import (
                     local_cache_gather,
                     make_mesh_cached_train_step,
                 )
 
-                self.device_caches = {
-                    "train": shard_cache(self.device_caches["train"], mesh)}
+                if not self._rotating:
+                    self.device_caches = {
+                        "train": shard_cache(self.device_caches["train"],
+                                             mesh)}
                 gather = local_cache_gather(mesh)
                 if self.is_ssl:
                     mesh_loss = ssl_loss_fn(cfg.dcrnn_config(),
@@ -281,6 +281,33 @@ class Trainer:
                 losses, cache_d, perm_d, valid_d)
         return params, model_state, opt_state, rng, np.asarray(losses)
 
+    def _run_mesh_cached_steps(self, params, model_state, opt_state, rng,
+                               cache_d, idx_mat, mask_mat, seen_base):
+        """Run the mesh-sharded cached-step program over one
+        (idx_mat, mask_mat) plan — a whole resident epoch, or one
+        rotating slab. Returns (params, model_state, opt_state, rng,
+        losses np (K,))."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from eeg_gnn_tpu.parallel.distributed import global_put
+
+        spec = NamedSharding(self.mesh, P(None, "data"))
+        # identical host plans on every process (seeded rng); multi-host
+        # each process uploads only its column slice
+        idx_d = global_put(idx_mat, spec, axis=1)
+        mask_d = global_put(mask_mat, spec, axis=1)
+        k_steps = idx_mat.shape[0]
+        rng, epoch_key = jax.random.split(rng)
+        counter = jnp.int32(0)
+        seen = jnp.int32(seen_base)
+        losses = jnp.zeros((k_steps,), jnp.float32)
+        for _ in range(k_steps):
+            (params, model_state, opt_state, epoch_key, counter, seen,
+             losses) = self.cached_train_step(
+                params, model_state, opt_state, epoch_key, counter, seen,
+                losses, cache_d, idx_d, mask_d)
+        return params, model_state, opt_state, rng, np.asarray(losses)
+
     def train(self, params, model_state, save_dir: str):
         cfg = self.cfg
         saver = CheckpointSaver(save_dir, cfg.metric_name,
@@ -344,29 +371,44 @@ class Trainer:
                 # lax.scan program — same N-step granularity as the
                 # streaming path; per-step dispatch pipelines better under
                 # runtimes like the axon tunnel, so it is the default.)
-                if self.cache_is_mesh:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
+                if self.cache_is_mesh and self._rotating:
+                    # beyond-HBM split on a mesh: rotate ROW-SHARDED
+                    # fixed-shape slabs (each device holds 1/p of every
+                    # slab), prefetching slab i+1 while slab i trains —
+                    # the multi-device analogue of the single-device
+                    # rotation below (kills the round-4 streaming cliff
+                    # for multi-device beyond-HBM runs)
+                    order = train_cache.epoch_shard_order(cache_rng)
+                    slab_next = train_cache.prefetch(order[0])
+                    v_parts, l_parts, seen_base = [], [], step
+                    for si, sid in enumerate(order):
+                        slab = slab_next
+                        if si + 1 < len(order):
+                            slab_next = train_cache.prefetch(order[si + 1])
+                        idx_mat, mask_mat = train_cache.mesh_shard_plan(
+                            sid, cfg.train_batch_size, True, cache_rng)
+                        (params, model_state, opt_state, rng,
+                         ls) = self._run_mesh_cached_steps(
+                            params, model_state, opt_state, rng, slab,
+                            idx_mat, mask_mat, seen_base)
+                        vv = mask_mat.sum(axis=1).astype(np.int32)
+                        seen_base += int(vv.sum())
+                        v_parts.append(vv)
+                        l_parts.append(ls)
+                    valid_vec = np.concatenate(v_parts)
+                    losses = np.concatenate(l_parts)
+                    slab = slab_next = None  # free before eval (ADVICE r4)
+                elif self.cache_is_mesh:
                     cache_d = {"x": train_cache.x, "y": train_cache.y,
                                "seq": train_cache.seq}
                     idx_mat, mask_mat = train_cache.mesh_epoch_plan(
                         cfg.train_batch_size, self.mesh.shape["data"],
                         True, cache_rng)
-                    k_steps = idx_mat.shape[0]
                     valid_vec = mask_mat.sum(axis=1).astype(np.int32)
-                    spec = NamedSharding(self.mesh, P(None, "data"))
-                    idx_d = jax.device_put(jnp.asarray(idx_mat), spec)
-                    mask_d = jax.device_put(jnp.asarray(mask_mat), spec)
-                    rng, epoch_key = jax.random.split(rng)
-                    counter = jnp.int32(0)
-                    seen = jnp.int32(step)
-                    losses = jnp.zeros((k_steps,), jnp.float32)
-                    for _ in range(k_steps):
-                        (params, model_state, opt_state, epoch_key,
-                         counter, seen, losses) = self.cached_train_step(
-                            params, model_state, opt_state, epoch_key,
-                            counter, seen, losses, cache_d, idx_d, mask_d)
-                    losses = np.asarray(losses)
+                    (params, model_state, opt_state, rng,
+                     losses) = self._run_mesh_cached_steps(
+                        params, model_state, opt_state, rng, cache_d,
+                        idx_mat, mask_mat, step)
                 elif self._rotating:
                     # beyond-HBM split: rotate fixed-shape shards through
                     # HBM, prefetching shard i+1 (async device_put) while

@@ -46,8 +46,11 @@ def test_tpu_kernel_parity_artifact():
     assert len(art["cases"]) >= 4
     for case in art["cases"]:
         bf16 = case["config"]["bf16"]
-        xin = case["config"].get("xin", False)
-        tol = 2e-2 if bf16 else (8e-3 if xin else 5e-3)
+        # xin + decoder cases run extra in-kernel dot layers per step vs
+        # their oracles' schedules (more bf16-MXU-pass associativity)
+        fused = (case["config"].get("xin", False)
+                 or case["config"].get("decoder", False))
+        tol = 2e-2 if bf16 else (8e-3 if fused else 5e-3)
         for name, err in case["errors"].items():
             assert err["rel"] <= tol, (case["name"], name, err)
 
