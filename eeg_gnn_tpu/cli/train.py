@@ -93,13 +93,13 @@ def main(argv=None):
         and cfg.task in ("detection", "SS pre-training")
         and cfg.model_name == "dcrnn"
     )
-    # All three task families cache; classification needs the combined
-    # graph (the correlation graph would see the zero-padding —
-    # DevicePipeline.classification_features)
-    cache_task_ok = (
-        cfg.task in ("detection", "SS pre-training")
-        or (cfg.task == "classification" and cfg.graph_type == "combined")
-    )
+    # All three task families cache, on BOTH graph types: classification's
+    # correlation graph runs on the length-masked clip
+    # (DevicePipeline.classification_features — exactly the reference's
+    # unpadded whole-clip xcorr), closing the last task x graph cell of
+    # the fast-path matrix (round 5)
+    cache_task_ok = cfg.task in ("detection", "SS pre-training",
+                                 "classification")
     # multi-host included (round 5): each process featurizes + uploads
     # only its row shard of the train split (data/device_cache.py:
     # _process_rows / make_array_from_process_local_data)

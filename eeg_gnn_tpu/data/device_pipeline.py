@@ -96,14 +96,16 @@ class DevicePipeline:
                                self.use_fft)  # (B, T, C, D)
         return self.features(feats, rng, training)
 
-    def features(self, feats, rng, training: bool):
+    def features(self, feats, rng, training: bool, graph_feats=None):
         """Post-featurization tail: augment -> standardize -> supports.
 
         Entry point for ALREADY-featurized (B, T, C, D) clips — the
         HBM-resident dataset cache (data/device_cache.py) gathers stored
         FFT features and runs exactly the host path's remaining math
         (augment THEN standardize, dataloader_detection.py:233-256)
-        on device.
+        on device. ``graph_feats`` overrides the tensor the correlation
+        graph is built from (classification_features passes the
+        length-masked clip so xcorr never sees padding).
         """
         b = feats.shape[0]
 
@@ -138,7 +140,8 @@ class DevicePipeline:
         if self.graph_type == "individual":
             # reference quirk: graph from the UN-augmented features
             # (top-k tie-breaks want full precision — upcast bf16 storage)
-            adj = correlation_adjacency_jnp(feats.astype(jnp.float32),
+            gfeats = feats if graph_feats is None else graph_feats
+            adj = correlation_adjacency_jnp(gfeats.astype(jnp.float32),
                                             top_k=self.top_k)
             supports = compute_supports_jnp(adj, self.filter_type)
         elif do_reflect:
@@ -158,11 +161,24 @@ class DevicePipeline:
         rows t >= seq_len to ``padding_val`` — the host path pads AFTER
         augment+standardize (dataloader_classification.py:334-352), so the
         padding region must not pick up the additive scale or the z-score
-        shift. Combined graph only (the correlation graph would see the
-        padding; cli/train.py gates accordingly)."""
-        x, supports = self.features(feats, rng, training)
-        t = x.shape[1]
+        shift.
+
+        Correlation ('individual') graphs use the LENGTH-MASKED clip
+        (rows t >= seq_len zeroed): zero rows contribute nothing to the
+        Gram dot products or the per-channel energies, so the result is
+        EXACTLY the reference's unpadded whole-clip xcorr
+        (dataloader_classification.py:258-307) for every true length —
+        the explicit mask additionally makes this independent of the
+        cache's padding value. Parity vs the host oracle is gated in
+        tests/test_device_pipeline.py."""
+        t = feats.shape[1]
         row_mask = jnp.arange(t)[None, :] < seq_lengths[:, None]  # (B, T)
+        graph_feats = None
+        if self.graph_type == "individual":
+            graph_feats = jnp.where(row_mask[:, :, None, None], feats,
+                                    jnp.zeros((), feats.dtype))
+        x, supports = self.features(feats, rng, training,
+                                    graph_feats=graph_feats)
         x = jnp.where(row_mask[:, :, None, None], x,
                       jnp.asarray(padding_val, x.dtype))
         return x, supports

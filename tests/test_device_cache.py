@@ -721,3 +721,26 @@ def test_rotating_cache_trains_on_mesh(corpus, tmp_path):
         not np.allclose(np.asarray(x), np.asarray(y))
         for x, y in zip(jax.tree.leaves(params0), jax.tree.leaves(p1)))
     assert moved
+
+
+def test_cli_hbm_cache_classification_individual(corpus, tmp_path):
+    """--hbm_cache on classification x individual (the last task x graph
+    cell, VERDICT r4 #5): length-masked on-device xcorr graphs from the
+    cached padded clips, end-to-end through the CLI."""
+    from eeg_gnn_tpu.cli.train import main
+
+    res = main([
+        "--input_dir", corpus["input_dir"],
+        "--raw_data_dir", corpus["raw_data_dir"],
+        "--marker_dir", corpus["marker_dir"],
+        "--save_dir", str(tmp_path), "--do_train", "--use_fft",
+        "--data_augment", "--hbm_cache",
+        "--model_name", "dcrnn", "--task", "classification",
+        "--graph_type", "individual", "--top_k", "3",
+        "--max_seq_len", "12",
+        "--num_rnn_layers", "1", "--rnn_units", "16",
+        "--max_diffusion_step", "1", "--num_classes", "4",
+        "--train_batch_size", "8", "--test_batch_size", "8",
+        "--num_epochs", "1", "--num_workers", "1",
+    ])
+    assert np.isfinite(res["loss"]) and "F1" in res

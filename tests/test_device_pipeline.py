@@ -196,3 +196,45 @@ def test_pipeline_trains_end_to_end(rng):
     params, mstate, ostate, loss = step(params, mstate, ostate, batch,
                                         jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_classification_individual_length_masked_xcorr(rng):
+    """VERDICT r4 #5: classification x individual joins the cached device
+    pipeline — the correlation graph built from the LENGTH-MASKED padded
+    clip equals the host oracle's whole-clip xcorr on the UNPADDED clip
+    (dataloader_classification.py:258-307) for every true length, and the
+    padded x rows stay pinned to padding_val."""
+    from eeg_gnn_tpu.graphs import compute_supports_jnp
+
+    t_max, n, d, b = 8, 19, 6, 5
+    scaler = StandardScaler(mean=np.float64(0.1), std=np.float64(1.5))
+    pipe = make_device_pipeline(
+        graph_type="individual", filter_type="dual_random_walk", top_k=3,
+        use_fft=True, time_step_size=1, scaler=scaler, augment=False,
+        num_nodes=n)
+
+    lens = np.array([8, 1, 3, 5, 7], np.int32)
+    clips = [rng.randn(int(L), n, d).astype(np.float32) for L in lens]
+    feats = np.zeros((b, t_max, n, d), np.float32)
+    for i, c in enumerate(clips):
+        feats[i, : lens[i]] = c
+    # poison the padding region to prove the mask (not zero storage)
+    # protects the graph: any leakage would change the Gram
+    poisoned = feats.copy()
+    for i in range(b):
+        poisoned[i, lens[i]:] = 7.5
+
+    x, sup = pipe.classification_features(
+        jnp.asarray(poisoned), jnp.asarray(lens), jax.random.PRNGKey(0),
+        training=True, padding_val=0.0)
+
+    for i in range(b):
+        adj_host = correlation_adjacency(clips[i], top_k=3)
+        sup_host = np.stack(compute_supports(adj_host, "dual_random_walk"))
+        np.testing.assert_allclose(np.asarray(sup[:, i]), sup_host,
+                                   rtol=1e-4, atol=1e-5, err_msg=str(i))
+        # x: standardized valid rows, padding re-pinned to padding_val
+        np.testing.assert_allclose(
+            np.asarray(x[i, : lens[i]]), (clips[i] - 0.1) / 1.5,
+            rtol=1e-5, atol=1e-6)
+        assert np.all(np.asarray(x[i, lens[i]:]) == 0.0)
