@@ -162,6 +162,7 @@ CITED_ARTIFACTS = (
     "benchmarks/shared_support_results.json",
     "benchmarks/ssl_efficacy_results.json",
     "benchmarks/rotating_cache_results.json",
+    "benchmarks/baseline_models_results.json",
 )
 
 

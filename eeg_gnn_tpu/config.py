@@ -89,10 +89,13 @@ class ExperimentConfig:
     # v5e; numerics parity-gated on chip (benchmarks/tpu_kernel_parity).
     # --recurrence stacked or non-TPU backends ignore it.
     batch_tile: int = 36  # clips per grid step in the Pallas whole-sequence
-    # recurrence kernels (perf knob; VMEM-bounded). 36 measured best at
-    # B=128 with the round-4 x-in-kernel path (48 for the hoisted path;
-    # benchmarks/NOTES.md round-4 section); auto-clamped to the VMEM
-    # budget and for small batches.
+    # recurrence kernels (perf knob; VMEM-bounded; rounded down to a
+    # group multiple — requests 36-48 all resolve to tile 35 at the
+    # flagship shape, measured equal within noise). Requests well above
+    # 36 can pick tiles the VMEM estimator accepts but Mosaic rejects on
+    # f32 shared-support configs (the estimator under-counts lane
+    # padding) — the compile fails loudly, never silently wrong.
+    # Auto-clamped for small batches; see benchmarks/NOTES.md round 5.
 
     # Derived
     maximize_metric: bool = True

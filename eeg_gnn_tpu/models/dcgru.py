@@ -396,9 +396,10 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
     # so slicing the final outputs recovers the unpadded math exactly.
     n_orig = n
     np_ = -(-n // 8) * 8
-    padded = (np_ != n and cfgs[0].recurrence == "pallas"
-              and not cfgs[0].use_pallas
-              and jax.default_backend() == "tpu")
+    on_pallas = (cfgs[0].recurrence == "pallas"
+                 and not cfgs[0].use_pallas
+                 and jax.default_backend() == "tpu")
+    padded = np_ != n and on_pallas
     if padded:
         x_seq = jnp.pad(x_seq, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
         pads = [(0, 0)] * (supports.ndim - 2) + [(0, np_ - n), (0, np_ - n)]
@@ -406,6 +407,41 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
         if h0 is not None:
             h0 = jnp.pad(h0, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
         n = np_
+
+    # Batch padding ONCE across the stack (round-5 trace finding): the
+    # x-in-kernel wrappers pad the batch to a tile multiple and slice it
+    # back per call, so between layers the full (T, B, Np, H) stream paid
+    # a slice+pad HBM round-trip each direction (~0.4 ms/step at the
+    # flagship shape, B=128 -> 144 at tile 36). Pad once here with the
+    # SMALLEST tile any layer will choose (layer 0's input width differs
+    # from the rest), pin every layer to that tile, and slice once at the
+    # end — the kernels' inner pad/slice become no-ops. Padded rows
+    # produce garbage activations that are never read and contribute
+    # exactly zero gradient (see ops/pallas_recurrent.py module notes).
+    b_orig = b
+    batch_padded = False
+    if on_pallas and getattr(cfgs[0], "input_fusion", False):
+        from eeg_gnn_tpu.ops.pallas_recurrent import xin_tile_for
+
+        m_total = cfgs[0].num_matrices
+        shared_graph = supports.ndim == 3
+        io_bytes = 2 if cfgs[0].compute_dtype == "bfloat16" else 4
+        widths = {c.input_dim for c in cfgs}
+        tb = min(xin_tile_for(cfgs[0].batch_tile, b, m_total, n_orig,
+                              h_units, d, shared_graph, io_bytes)
+                 for d in widths)
+        bp = -(-b // tb) * tb
+        if tb != cfgs[0].batch_tile or bp != b:
+            cfgs = [dataclasses.replace(c, batch_tile=tb) for c in cfgs]
+        if bp != b:
+            batch_padded = True
+            x_seq = jnp.pad(x_seq, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
+            if supports.ndim == 4:
+                supports = jnp.pad(
+                    supports, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
+            if h0 is not None:
+                h0 = jnp.pad(h0, ((0, 0), (0, bp - b), (0, 0), (0, 0)))
+            b = bp
 
     cur = x_seq
     lasts = []
@@ -423,9 +459,9 @@ def encoder_apply(cfgs, params, supports, x_seq, h0=None):
     # consumers (SSL decoder state) see unchanged precision even when the
     # kernel streams h_seq in bf16
     stack = jnp.stack(lasts, axis=0).astype(dtype)
-    if padded:
-        stack = stack[:, :, :n_orig]
-        cur = cur[:, :, :n_orig]
+    if padded or batch_padded:
+        stack = stack[:, :b_orig, :n_orig]
+        cur = cur[:, :b_orig, :n_orig]
     return stack, cur
 
 

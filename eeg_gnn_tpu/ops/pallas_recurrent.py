@@ -680,6 +680,14 @@ def _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes,
     return tb
 
 
+def xin_tile_for(batch_tile, b, m, n, h, d, shared, io_bytes):
+    """Public tile query for callers that want to pre-pad the batch ONCE
+    across a layer stack (models/dcgru.encoder_apply): returns the tile
+    the x-in-kernel path would choose for this shape."""
+    np_ = -(-n // 8) * 8
+    return _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes)
+
+
 def _prep_xin(a_ops, x_seq, h0, batch_tile, io_bytes):
     t, b, n, d = x_seq.shape
     m = a_ops.shape[0]
