@@ -163,6 +163,7 @@ CITED_ARTIFACTS = (
     "benchmarks/ssl_efficacy_results.json",
     "benchmarks/rotating_cache_results.json",
     "benchmarks/baseline_models_results.json",
+    "benchmarks/serving_results.json",
 )
 
 

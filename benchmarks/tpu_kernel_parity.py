@@ -362,7 +362,9 @@ def check_gate():
     gates = (("gate_f32", run_case, dict(shared=True, b=32)),
              ("gate_bf16", run_case, dict(shared=True, b=32, bf16=True)),
              ("gate_xin_bf16", run_case_xin,
-              dict(shared=False, b=32, bf16=True)))
+              dict(shared=False, b=32, bf16=True)),
+             ("gate_dec_bf16", run_case_dec,
+              dict(shared=True, b=32, bf16=True)))
     for name, fn, kw in gates:
         r = fn(name, **kw)
         if not r["pass"]:

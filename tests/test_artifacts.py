@@ -112,3 +112,14 @@ def test_baseline_models_artifact():
     ours = art["float32"]["clips_per_s"]
     ref = art["reference_torch_cpu"]["clips_per_s"]
     assert ref > 0 and ours >= 20 * ref
+
+
+def test_serving_artifact():
+    """The deployable Predictor's fused raw->probability program must
+    sustain serving-grade throughput once inputs are device-resident
+    (the link-bound figures carry the transport diagnosis in the note);
+    B=1 latency is recorded."""
+    art = _load("serving_results.json")
+    assert art["raw_b256_device_resident_clips_per_s"] >= 1000
+    assert art["raw_b1_latency_ms"] > 0
+    assert art["featurized_b256_clips_per_s"] > 0
