@@ -209,16 +209,19 @@ def main(argv=None):
         cache_splits = ["train"] if mesh is not None else list(plain)
         n_total = sum(len(plain[s]) for s in cache_splits)
         n_dev_cache = mesh.shape["data"] if mesh is not None else 1
+        budget = int(cfg.hbm_budget_gb * 2 ** 30)
         if fits_in_hbm(n_total, cfg.max_seq_len, cfg.num_nodes,
                        cfg.input_dim, storage, t_out=t_out,
-                       num_devices=n_dev_cache):
+                       budget_bytes=budget, num_devices=n_dev_cache):
             device_caches = {s: build(plain[s]) for s in cache_splits}
-        elif jax.process_count() == 1:
+        else:
             # beyond-HBM: chunked rotating cache — fixed-shape shards
             # double-buffered through HBM, upload overlapped with steps
             # (data/rotating_cache.py; replaces the round-3 silent
             # streaming cliff). With a mesh the slabs are row-sharded
-            # over the data axis (per-device budget unchanged).
+            # over the data axis (per-device budget unchanged); on
+            # multi-host runs each process featurizes + uploads only its
+            # per-shard row stripes.
             from eeg_gnn_tpu.data.rotating_cache import build_rotating_cache
 
             kind = {"detection": "detection", "SS pre-training": "ssl",
@@ -226,6 +229,7 @@ def main(argv=None):
             device_caches = {
                 s: build_rotating_cache(
                     plain[s], cfg.max_seq_len, kind, storage_dtype=storage,
+                    budget_bytes=budget,
                     num_workers=cfg.num_workers, mesh=mesh)
                 for s in cache_splits
             }
@@ -235,10 +239,6 @@ def main(argv=None):
                   "double-buffered H2D"
                   + (", row-sharded slabs" if mesh is not None else "")
                   + ")", file=sys.stderr)
-        else:
-            print("hbm_cache: beyond-HBM splits are not cached on "
-                  "multi-host runs; falling back to the streaming loader",
-                  file=sys.stderr)
     results = run_experiment(cfg, loaders, scaler, save_dir, log, tbx,
                              mesh=mesh, input_pipeline=input_pipeline,
                              device_caches=device_caches)

@@ -73,8 +73,11 @@ class ExperimentConfig:
     mesh_shape: str = "data:-1"  # e.g. "data:8" / "data:4,graph:2"
     device_pipeline: bool = False  # fused on-device input pipeline (raw clips in)
     hbm_cache: bool = False  # keep the featurized splits resident in device
-    # HBM and gather batches in-step (dcrnn family, single process;
+    # HBM and gather batches in-step (dcrnn family;
     # data/device_cache.py — for hosts where H2D can't feed the chip)
+    hbm_budget_gb: float = 12.0  # per-device HBM budget for cached splits
+    # (the remainder holds params/activations/workspace); splits beyond it
+    # rotate through fixed-shape shards (data/rotating_cache.py)
     reflect_invariant: bool = False  # combined-graph reflection augmentation
     # as a true node relabeling (shared supports — the kernels' fast path).
     # DIVERGENCE from the reference's literal swapped adjacency at the
@@ -224,9 +227,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "Fused on-device input pipeline (featurize+graphs in-step).")
     _add_bool_flag(p, "hbm_cache",
                    "Keep featurized splits resident in device HBM; batches "
-                   "are gathered in-step (dcrnn family, single process). "
+                   "are gathered in-step (dcrnn family). "
                    "Numerics match the streaming loader; combine with "
                    "--reflect_invariant for the shared-support fast path.")
+    p.add_argument("--hbm_budget_gb", type=float, default=d.hbm_budget_gb,
+                   help="Per-device HBM budget (GB) for cached splits; "
+                        "larger splits rotate through fixed-shape shards.")
     _add_bool_flag(p, "reflect_invariant",
                    "Treat combined-graph reflection augmentation as a true "
                    "node relabeling: supports stay ONE shared slab (the "

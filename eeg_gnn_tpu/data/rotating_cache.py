@@ -45,6 +45,19 @@ from typing import Optional
 import numpy as np
 
 
+def rotating_geometry(num_clips: int, clip_bytes: int, budget_bytes: int,
+                      p: int = 1, min_shards: int = 2):
+    """(num_shards, shard_rows) for a rotating cache: shards sized so
+    THREE fit the per-device budget, rows rounded to a multiple of the
+    data-axis size ``p`` (equal per-device blocks). Shared by the cache
+    itself and the multi-host builder (which must know the shard layout
+    BEFORE featurizing its row stripes)."""
+    max_rows = max(1, budget_bytes // (3 * clip_bytes)) * p
+    num_shards = max(min_shards, -(-num_clips // max_rows))
+    base_rows = -(-num_clips // num_shards)
+    return num_shards, -(-base_rows // p) * p
+
+
 class RotatingDeviceCache:
     """Host-resident featurized split served as rotating fixed-shape HBM
     shards with double-buffered prefetch.
@@ -69,7 +82,8 @@ class RotatingDeviceCache:
                  storage_dtype: str = "float32",
                  budget_bytes: int = 12 * 2 ** 30, names=None,
                  seq_lengths: Optional[np.ndarray] = None,
-                 min_shards: int = 2, mesh=None):
+                 min_shards: int = 2, mesh=None,
+                 global_num_clips: Optional[int] = None):
         import jax.numpy as jnp
 
         self._np_dtype = (np.dtype("bfloat16")
@@ -100,10 +114,18 @@ class RotatingDeviceCache:
                     if self._np_dtype is not None else labels))
         self._seq = (None if seq_lengths is None
                      else np.asarray(seq_lengths, np.int32))
-        self.num_clips = int(feats.shape[0])
+        # multi-host STRIPE mode (``global_num_clips`` set): ``feats``
+        # holds only THIS process's per-shard row stripes, laid out
+        # shard-major — stripe s occupies local rows
+        # [s*rows_pp, (s+1)*rows_pp) with rows_pp = shard_rows/n_procs;
+        # the builder materializes exactly those rows (incl. the padded
+        # shard tail, which the plans mask out of the loss).
+        self._stripes = global_num_clips is not None
+        self.num_clips = (int(global_num_clips) if self._stripes
+                          else int(feats.shape[0]))
         self.seq_len = int(seq_len)
         self.names = (list(names) if names is not None
-                      else [str(i) for i in range(self.num_clips)])
+                      else [str(i) for i in range(feats.shape[0])])
         self._labels_host = labels if labels.ndim == 1 else None
 
         clip_bytes = int(np.prod(feats.shape[1:])) * feats.dtype.itemsize
@@ -120,11 +142,17 @@ class RotatingDeviceCache:
         # gets an equal block).
         self.mesh = mesh
         p = 1 if mesh is None else mesh.shape["data"]
-        max_rows = max(1, budget_bytes // (3 * clip_bytes)) * p
-        self.num_shards = max(min_shards, -(-self.num_clips // max_rows))
-        base_rows = -(-self.num_clips // self.num_shards)
-        self.shard_rows = -(-base_rows // p) * p
+        self.num_shards, self.shard_rows = rotating_geometry(
+            self.num_clips, clip_bytes, budget_bytes, p, min_shards)
         self.clip_bytes = clip_bytes
+        if self._stripes:
+            import jax
+
+            self._rows_pp = self.shard_rows // jax.process_count()
+            if feats.shape[0] != self.num_shards * self._rows_pp:
+                raise ValueError(
+                    f"stripe rows {feats.shape[0]} != shards "
+                    f"{self.num_shards} x rows/process {self._rows_pp}")
 
     # -- host-side plan ----------------------------------------------------
 
@@ -165,6 +193,31 @@ class RotatingDeviceCache:
         at most this slab + the live slab are resident)."""
         import jax
         import jax.numpy as jnp
+
+        if self._stripes:
+            # multi-host: each process contributes its stripe of the
+            # row-sharded slab (no cross-host data movement)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            lo = shard * self._rows_pp
+            hi = lo + self._rows_pp
+
+            def up(a, dt=None):
+                if a is None:
+                    return None
+                spec = NamedSharding(
+                    self.mesh, P(*(("data",) + (None,) * (a.ndim - 1))))
+                out = jax.make_array_from_process_local_data(spec, a[lo:hi])
+                return (out.astype(dt) if dt is not None
+                        and out.dtype != dt else out)
+
+            return {
+                "x": up(self._x, self._jnp_dtype),
+                "y": up(self._y,
+                        self._jnp_dtype if self._y.ndim > 1
+                        else jnp.float32),
+                "seq": up(self._seq),
+            }
 
         lo = shard * self.shard_rows
         hi = min(lo + self.shard_rows, self.num_clips)
@@ -227,6 +280,36 @@ class RotatingDeviceCache:
         return 3 * self.shard_rows * self.clip_bytes
 
 
+def _stripe_rows(dataset, kind: str, storage_dtype: str,
+                 budget_bytes: int, min_shards: int, mesh):
+    """Multi-host: the dataset rows THIS process featurizes — its stripe
+    of every shard's padded row block (pad rows map to dataset row 0;
+    the per-slab plans mask them out of the loss). Returns
+    (rows or None, global_num_clips or None). Requires the shard
+    geometry up front, computed from a probe item's clip bytes with the
+    same formula the cache itself uses (:func:`rotating_geometry`)."""
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return None, None
+    n = len(dataset)
+    probe = dataset[0]
+    itemsize = 2 if storage_dtype == "bfloat16" else 4
+    clip_bytes = int(np.prod(np.asarray(probe[0]).shape)) * itemsize
+    if kind == "ssl":
+        clip_bytes += int(np.prod(np.asarray(probe[1]).shape)) * itemsize
+    p = mesh.shape["data"]
+    num_shards, shard_rows = rotating_geometry(
+        n, clip_bytes, budget_bytes, p, min_shards)
+    rows_pp = shard_rows // jax.process_count()
+    q = jax.process_index()
+    rows = []
+    for s in range(num_shards):
+        lo = s * shard_rows + q * rows_pp
+        rows.extend(i if i < n else 0 for i in range(lo, lo + rows_pp))
+    return rows, n
+
+
 def build_rotating_cache(dataset, seq_len: int, kind: str,
                          storage_dtype: str = "float32",
                          budget_bytes: int = 12 * 2 ** 30,
@@ -235,37 +318,39 @@ def build_rotating_cache(dataset, seq_len: int, kind: str,
                          mesh=None) -> RotatingDeviceCache:
     """Materialize a rotating cache from a plain (un-augmented,
     un-standardized) dataset. ``kind``: 'detection' | 'ssl' |
-    'classification' (same item layouts as the device_cache builders)."""
+    'classification' (same item layouts as the device_cache builders).
+    Multi-host (mesh + >1 process): each process featurizes only its
+    per-shard row stripes (:func:`_stripe_rows`)."""
     from eeg_gnn_tpu.data.device_cache import _materialize
 
+    sel, n_global = _stripe_rows(dataset, kind, storage_dtype,
+                                 budget_bytes, min_shards, mesh)
+    common = dict(storage_dtype=storage_dtype, budget_bytes=budget_bytes,
+                  min_shards=min_shards, mesh=mesh,
+                  global_num_clips=n_global)
     if kind == "detection":
         rows = _materialize(
             dataset, lambda it: (np.asarray(it[0], np.float32),
-                                 np.float32(it[1]), it[5]), num_workers)
+                                 np.float32(it[1]), it[5]), num_workers,
+            rows=sel)
         xs, ys, names = zip(*rows)
         return RotatingDeviceCache(
-            np.stack(xs), np.asarray(ys), seq_len,
-            storage_dtype=storage_dtype, budget_bytes=budget_bytes,
-            names=names, min_shards=min_shards, mesh=mesh)
+            np.stack(xs), np.asarray(ys), seq_len, names=names, **common)
     if kind == "ssl":
         rows = _materialize(
             dataset, lambda it: (np.asarray(it[0], np.float32),
                                  np.asarray(it[1], np.float32), it[5]),
-            num_workers)
+            num_workers, rows=sel)
         xs, ys, names = zip(*rows)
         return RotatingDeviceCache(
-            np.stack(xs), np.stack(ys), seq_len,
-            storage_dtype=storage_dtype, budget_bytes=budget_bytes,
-            names=names, min_shards=min_shards, mesh=mesh)
+            np.stack(xs), np.stack(ys), seq_len, names=names, **common)
     if kind == "classification":
         rows = _materialize(
             dataset, lambda it: (np.asarray(it[0], np.float32),
                                  np.int32(it[1]), np.int32(it[2]), it[5]),
-            num_workers)
+            num_workers, rows=sel)
         xs, ys, lens, names = zip(*rows)
         return RotatingDeviceCache(
             np.stack(xs), np.asarray(ys, np.float32), seq_len,
-            storage_dtype=storage_dtype, budget_bytes=budget_bytes,
-            names=names, seq_lengths=np.asarray(lens, np.int32),
-            min_shards=min_shards, mesh=mesh)
+            names=names, seq_lengths=np.asarray(lens, np.int32), **common)
     raise ValueError(f"unknown rotating-cache kind: {kind!r}")

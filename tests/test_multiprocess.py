@@ -166,3 +166,44 @@ def test_two_process_hbm_cache_matches_single(tmp_path):
     np.testing.assert_allclose(results[0]["acc"], single["acc"], atol=1e-6)
     np.testing.assert_allclose(results[0]["auroc"], single["auroc"],
                                atol=5e-3)
+
+
+@pytest.mark.slow
+def test_two_process_rotating_cache_matches_single(tmp_path):
+    """Beyond-HBM x multi-host (the last cache-matrix cell): a tiny
+    --hbm_budget_gb forces the rotating path; two real jax.distributed
+    processes — each featurizing and uploading only its per-shard row
+    STRIPES — must reproduce the single-process mesh-rotating run (same
+    4-device global mesh, same seeded shard order and per-slab plans)."""
+    from eeg_gnn_tpu.cli.train import main
+    from eeg_gnn_tpu.data.synthetic import make_synthetic_corpus
+
+    root = str(tmp_path)
+    p = make_synthetic_corpus(root, num_files=4, file_seconds=60,
+                              clip_len=12)
+    with open(os.path.join(root, "paths.json"), "w") as f:
+        json.dump(p, f)
+
+    args = [
+        "--task", "detection", "--do_train", "--graph_type", "combined",
+        "--max_seq_len", "12", "--use_fft", "--num_rnn_layers", "1",
+        "--rnn_units", "16", "--max_diffusion_step", "1",
+        "--train_batch_size", "4", "--test_batch_size", "4",
+        "--num_epochs", "2", "--num_workers", "0",
+        "--input_dir", p["input_dir"], "--raw_data_dir", p["raw_data_dir"],
+        "--marker_dir", p["marker_dir"], "--adj_mat_dir", p["adj_mat_dir"],
+        "--hbm_cache", "--hbm_budget_gb", "0.0002",
+    ]
+    single = main(args + ["--save_dir", os.path.join(root, "save_single")])
+
+    results, outs = _run_two_process(
+        root, "rot", extra=["--hbm_cache", "--hbm_budget_gb", "0.0002"])
+    # the rotating path really engaged on both sides
+    assert "chunked rotating cache" in outs[0]
+    for k, v in results[0].items():
+        np.testing.assert_allclose(results[1][k], v, rtol=1e-6, err_msg=k)
+    np.testing.assert_allclose(results[0]["loss"], single["loss"],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(results[0]["acc"], single["acc"], atol=1e-6)
+    np.testing.assert_allclose(results[0]["auroc"], single["auroc"],
+                               atol=5e-3)
