@@ -657,7 +657,13 @@ def _xin_tile(batch_tile, b, m, np_, h, d, shared, io_bytes,
         jj = _group_size(tb, np_)  # actual grouping for THIS candidate
         rows, gr = tb * np_, jj * np_
         a = 0 if shared else 2 * (tb // jj) * m * gr * gr * 4
-        streams = 2 * rows * (5 * h + 2 * d) * io_bytes  # in+out, dbl-buf
+        # streams double-buffer per time step; with MORE THAN ONE batch
+        # group Mosaic additionally prefetches across the group boundary
+        # (~half an extra buffer set — empirically, f32 shared tile 40 at
+        # 4 groups OOMs the compiler while one group compiles; tile 35
+        # at 4 groups compiles. 2.5x splits that boundary).
+        buf = 2.5 if -(-b // tb) > 1 else 2.0
+        streams = buf * rows * (5 * h + 2 * d) * io_bytes
         scr = 4 * (rows * (h + 2 * m * h + m * d + h + d)
                    + (tb // jj) * m * gr * (h + d))
         weights = 4 * (3 * m * h * h + 2 * m * h * h + 3 * m * d * h)
