@@ -94,11 +94,10 @@ class ExperimentConfig:
     batch_tile: int = 36  # clips per grid step in the Pallas whole-sequence
     # recurrence kernels (perf knob; VMEM-bounded; rounded down to a
     # group multiple — requests 36-48 all resolve to tile 35 at the
-    # flagship shape, measured equal within noise). Requests well above
-    # 36 can pick tiles the VMEM estimator accepts but Mosaic rejects on
-    # f32 shared-support configs (the estimator under-counts lane
-    # padding) — the compile fails loudly, never silently wrong.
-    # Auto-clamped for small batches; see benchmarks/NOTES.md round 5.
+    # flagship shape, measured equal within noise; the VMEM estimator
+    # charges Mosaic's multi-group pipeline buffer, so oversized
+    # requests clamp to compiling tiles). Auto-clamped for small
+    # batches; see benchmarks/NOTES.md round 5.
 
     # Derived
     maximize_metric: bool = True

@@ -201,3 +201,28 @@ def test_decoder_apply_force_stream_unchanged(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
                                rtol=1e-5, atol=1e-6)
     assert any(force) and not all(force)  # the pattern actually mixes
+
+
+def test_dec_tile_budget_sweep():
+    """Decoder tile selection mirrors the xin policy: no hard-coded
+    pass/fail constant (monotone in a perturbed budget), and a shape
+    whose minimal tile exceeds the budget raises a clear error."""
+    from eeg_gnn_tpu.ops.pallas_decoder import _dec_tile
+    from eeg_gnn_tpu.ops.pallas_recurrent import (
+        _XIN_VMEM_FRACTION,
+        _group_size,
+        vmem_budget_bytes,
+    )
+
+    base = vmem_budget_bytes(_XIN_VMEM_FRACTION)
+    tiles = {}
+    for f in (0.7, 1.0, 1.3):
+        tb = _dec_tile(64, 512, 3, 24, 64, 100, 2, True, 2,
+                       budget_bytes=int(base * f))
+        assert tb >= 1 and tb % _group_size(tb, 24) == 0
+        tiles[f] = tb
+    assert tiles[1.3] >= tiles[1.0] >= tiles[0.7]
+
+    with pytest.raises(ValueError, match="minimal batch tile"):
+        _dec_tile(8, 8, 7, 512, 256, 256, 4, False, 4,
+                  budget_bytes=10 ** 6)
