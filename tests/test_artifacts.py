@@ -123,3 +123,12 @@ def test_serving_artifact():
     assert art["raw_b256_device_resident_clips_per_s"] >= 1000
     assert art["raw_b1_latency_ms"] > 0
     assert art["featurized_b256_clips_per_s"] > 0
+
+
+def test_baseline_family_coverage():
+    """Every non-DCRNN model family has a recorded speedup over the
+    executing torch-CPU reference (round-5 extension of the LSTM entry)."""
+    art = _load("baseline_models_results.json")
+    for fam in ("cnnlstm", "densecnn"):
+        assert art[fam]["clips_per_s"] > 0
+        assert art[fam]["speedup_vs_reference"] >= 20
