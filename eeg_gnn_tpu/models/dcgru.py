@@ -525,7 +525,9 @@ def decoder_apply(cfgs, params, supports, dec_inputs, h0_stack, num_layers,
     all layers' cells, the projection, the feedback select — runs as two
     whole-sequence Pallas kernels (``ops/pallas_decoder.py``). The
     per-step force draws are precomputed from the SAME key stream the
-    scan path uses, so both paths produce identical outputs for one rng.
+    scan path uses, so both paths make the same teacher-forcing
+    decisions for one rng (outputs match up to kernel-vs-XLA float
+    associativity; parity-gated on chip).
     """
     from eeg_gnn_tpu.ops.recurrent import (
         chebyshev_operators,

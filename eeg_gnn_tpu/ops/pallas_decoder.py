@@ -25,8 +25,8 @@ Structure per timestep (forward):
         h_l' = u*h_l + (1-u)*c_l;  in_{l+1} = h_l'
     proj_t = h_{L-1}' @ Wp^T + bp            (in-kernel projection)
     feedback select with the per-step scalar force f_t (precomputed
-    OUTSIDE from the same PRNG stream as the XLA scan path, so the two
-    paths are bit-identical given one rng)
+    OUTSIDE from the same PRNG stream as the XLA scan path, so both
+    paths make identical teacher-forcing decisions given one rng)
 
 The backward walks t from T_out-1 down with per-layer dh carries plus a
 d_in0 carry that routes the feedback cotangent: at step t,
