@@ -1,8 +1,9 @@
-"""Capture per-HLO device times for the bench-config train step (B=128
-bf16, per-clip supports, x-in-kernel path): the xprof accounting method
-behind benchmarks/NOTES.md's per-round step breakdowns.
+"""Capture per-HLO device times for a flagship train step: the xprof
+accounting method behind benchmarks/NOTES.md's per-round breakdowns.
 
-Run from the repo root: ``python benchmarks/trace_step.py [dtype]``.
+Run from the repo root:
+    python benchmarks/trace_step.py [dtype]        # detection (B=128)
+    python benchmarks/trace_step.py [dtype] ssl    # SSL enc-dec (B=128)
 """
 import glob, os, sys, time
 import numpy as np
@@ -24,24 +25,52 @@ from eeg_gnn_tpu.train.step import make_train_step, supervised_loss_fn
 
 b, t = 128, 60
 dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
-cfg = ExperimentConfig(do_train=True, graph_type="combined",
-                       num_rnn_layers=2, max_seq_len=t,
-                       dtype=dtype, batch_tile=36).finalize()
-bundle = build_model(cfg)
-params, mstate = bundle.init(jax.random.PRNGKey(0))
-optimizer = make_optimizer(1e-4, 5e-4, 5.0, 100, 100)
-opt_state = optimizer.init(params)
-step = make_train_step(supervised_loss_fn(bundle, "detection"), optimizer,
-                       donate=False)
+task_ssl = len(sys.argv) > 2 and sys.argv[2] == "ssl"
 rng = np.random.RandomState(0)
-x = jnp.asarray(rng.randn(b, t, 19, 100), jnp.float32)
-y = jnp.asarray(rng.randint(0, 2, (b,)), jnp.float32)
-lens = jnp.full((b,), t, jnp.int32)
-sup = compute_supports_jnp(
-    jnp.asarray(np.abs(rng.randn(b, 19, 19)), np.float32), "laplacian")
-batch = {"x": x, "y": y, "seq_lengths": lens, "supports": sup,
-         "valid": jnp.int32(b)}
 key = jax.random.PRNGKey(0)
+optimizer = make_optimizer(1e-4, 5e-4, 5.0, 100, 100)
+if task_ssl:
+    from eeg_gnn_tpu.models.dcrnn import init_next_time_pred_model
+    from eeg_gnn_tpu.train.step import ssl_loss_fn
+
+    cfg = ExperimentConfig(do_train=True, task="SS pre-training",
+                           graph_type="combined", num_rnn_layers=3,
+                           max_seq_len=t, output_seq_len=12,
+                           use_curriculum_learning=True,
+                           dtype=dtype).finalize()
+    params = init_next_time_pred_model(jax.random.PRNGKey(0),
+                                       cfg.dcrnn_config())
+    mstate = {}
+    opt_state = optimizer.init(params)
+    base_step = make_train_step(
+        ssl_loss_fn(cfg.dcrnn_config(), jnp.float32(0.0),
+                    jnp.float32(1.0)),
+        optimizer, donate=False, has_batches_seen=True)
+    sup = compute_supports_jnp(
+        jnp.asarray(np.abs(rng.rand(b, 19, 19)), np.float32), "laplacian")
+    batch = {"x": jnp.asarray(rng.randn(b, t, 19, 100), jnp.float32),
+             "y": jnp.asarray(rng.randn(b, 12, 19, 100), jnp.float32),
+             "supports": sup}
+
+    def step(params, mstate, opt_state, batch, key):
+        return base_step(params, mstate, opt_state, batch, key,
+                         jnp.int32(0))
+else:
+    cfg = ExperimentConfig(do_train=True, graph_type="combined",
+                           num_rnn_layers=2, max_seq_len=t,
+                           dtype=dtype, batch_tile=36).finalize()
+    bundle = build_model(cfg)
+    params, mstate = bundle.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    step = make_train_step(supervised_loss_fn(bundle, "detection"),
+                           optimizer, donate=False)
+    x = jnp.asarray(rng.randn(b, t, 19, 100), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 2, (b,)), jnp.float32)
+    lens = jnp.full((b,), t, jnp.int32)
+    sup = compute_supports_jnp(
+        jnp.asarray(np.abs(rng.randn(b, 19, 19)), np.float32), "laplacian")
+    batch = {"x": x, "y": y, "seq_lengths": lens, "supports": sup,
+             "valid": jnp.int32(b)}
 for _ in range(5):
     params, mstate, opt_state, loss = step(params, mstate, opt_state, batch, key)
 print("warm loss", float(loss))

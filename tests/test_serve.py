@@ -157,3 +157,29 @@ def test_from_torch_checkpoint():
     probs = pred.predict_proba(x, adjacency=adj)
     assert probs.shape == (3,)
     assert np.all(np.isfinite(probs))
+
+
+def test_mesh_data_parallel_inference_matches_single(rng):
+    """Predictor(mesh=...) shards the batch over the data axis; the
+    probabilities must equal the single-device predictor's exactly
+    (data-parallel inference changes placement, never math)."""
+    from eeg_gnn_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    params, state = _init(cfg)
+    x = rng.randn(8, T, N, D).astype(np.float32)
+    adj = _adjacency(rng, 8)
+
+    p1 = Predictor(cfg, params, state, batch_size=8)
+    pm = Predictor(cfg, params, state, batch_size=8,
+                   mesh=make_mesh("data:8"))
+    probs1 = p1.predict_proba(x, adjacency=adj)
+    probsm = pm.predict_proba(x, adjacency=adj)
+    np.testing.assert_allclose(probsm, probs1, rtol=1e-5, atol=1e-6)
+
+    # chunked path (n > batch_size) through the mesh too
+    x2 = rng.randn(11, T, N, D).astype(np.float32)
+    adj2 = _adjacency(rng, 11)
+    np.testing.assert_allclose(
+        pm.predict_proba(x2, adjacency=adj2),
+        p1.predict_proba(x2, adjacency=adj2), rtol=1e-5, atol=1e-6)
